@@ -1,0 +1,83 @@
+"""Group-wise vector cost aggregation over source views.
+
+Behavioural twin of reference net/unit/homoaggregate.py:8-46 (VectorAggregate):
+features are turned into per-group "unit vectors" by a softmax over the
+channels within each group; ref and each warped src volume are correlated by
+an inner product per group; a tiny learned 1x1x1 Conv3d+BN+ReLU+Conv3d+sigmoid
+stack produces a per-src visibility weight used for a weighted average.
+
+TPU-first differences from the reference:
+- volumes are (B, D, H, W, G) channels-last;
+- src views are accumulated in a streaming sum (memory O(1) in V), like the
+  reference's python loop, but expressed so XLA can pipeline warps;
+- the ref softmax volume is computed once on (B, H, W, G, C/G) and broadcast
+  over D instead of materialising the repeated (B, C, D, H, W) ref volume.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mdfnet_tpu.models.layers import BatchNorm, ConvND
+from mdfnet_tpu.ops.warp import homography_warp
+
+
+class DepthWeight(nn.Module):
+    """sigmoid(Conv3d(G->1,1) -> BN -> ReLU -> Conv3d(1->1,1)) visibility net.
+
+    Twin of reference net/unit/homoaggregate.py:16-20. 1x1x1 convs on
+    channels-last volumes are plain matmuls on the MXU.
+    """
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, volume, train: bool = False):
+        w = ConvND(1, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv0")(volume)
+        w = BatchNorm(name="bn0")(w, train)
+        w = nn.relu(w)
+        w = ConvND(1, (1, 1, 1), use_bias=True, dtype=self.dtype, name="conv1")(w)
+        return nn.sigmoid(w)
+
+
+class VectorAggregate(nn.Module):
+    ngroups: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, features, ref_proj, src_projs, depth_hypos, train: bool = False):
+        """
+        Args:
+            features: list of (B, H, W, C) per-view features, ref first.
+            ref_proj: (B, 4, 4); src_projs: (B, V-1, 4, 4).
+            depth_hypos: (B, D, H, W) or (B, D, 1, 1).
+        Returns:
+            (B, D, H, W, G) aggregated cost volume.
+        """
+        ref_feat, src_feats = features[0], features[1:]
+        b, h, w, c = ref_feat.shape
+        g = self.ngroups
+        cg = c // g
+
+        # group-softmax of the ref features once; broadcast over D later
+        ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]  # (B, 1, H, W, G, C/G)
+
+        weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
+
+        volume_sum = 0.0
+        weight_sum = 0.0
+        for v in range(len(src_feats)):
+            warped = homography_warp(src_feats[v], src_projs[:, v], ref_proj,
+                                     depth_hypos)  # (B, D, H, W, C)
+            warped = _softmax_groups(warped, g, cg)  # (B, D, H, W, G, C/G)
+            sim = jnp.sum(warped * ref_unit, axis=-1)  # (B, D, H, W, G)
+            wgt = weight_net(sim, train)  # (B, D, H, W, 1)
+            weight_sum = weight_sum + wgt
+            volume_sum = volume_sum + wgt * sim
+
+        return volume_sum / weight_sum
+
+
+def _softmax_groups(x: jnp.ndarray, groups: int, group_ch: int) -> jnp.ndarray:
+    """Softmax over the channels within each group (last axis split G x C/G)."""
+    shape = x.shape[:-1] + (groups, group_ch)
+    return nn.softmax(x.reshape(shape), axis=-1)

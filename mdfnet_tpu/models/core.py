@@ -1,0 +1,104 @@
+"""CoreNet — the 4-scale coarse-to-fine plane-sweep cascade orchestrator.
+
+Behavioural twin of reference net/core.py:4-78, assembled from injected units
+(the reference's pluggability, config.py:186-218, is preserved via
+models/registry.py). The stage loop is a static Python loop — three
+specialised stages under one jit, letting XLA pipeline the cascade in HBM.
+
+Data layout is channels-last: imgs (B, V, H, W, 3); features (B, H, W, C);
+cost volumes (B, D, H, W, G); probability volumes (B, D, H, W).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mdfnet_tpu import geometry
+from mdfnet_tpu.models.aggregate import VectorAggregate
+from mdfnet_tpu.models.backbone import FPN4Scales
+from mdfnet_tpu.models.refine import RefineNet2
+from mdfnet_tpu.models.regularize import RegularNet3Scales, RegularNet4Scales
+from mdfnet_tpu.ops.fitting import refined_hypotheses, uniform_hypotheses
+from mdfnet_tpu.ops.regress import confidence_regression, depth_regression
+from mdfnet_tpu.ops.sample import resize_nearest_2x
+
+
+class CoreNet(nn.Module):
+    """4-stage cascade: FPN features -> per-stage (hypos, warp+aggregate,
+    3D U-Net, soft-argmax) -> PixelShuffle refinement.
+
+    Attributes mirror the reference composition root (config.py:192-218):
+        chs: FPN channels per scale.
+        ndepths: hypothesis counts per cost-volume stage.
+        curve_classes: fitting distribution per stage (None = uniform init).
+        prob_threshs: curve cut-off probability per stage.
+        ngroups: correlation groups per stage.
+    """
+    chs: Tuple[int, ...] = (8, 16, 32, 64)
+    ndepths: Tuple[int, ...] = (48, 24, 8)
+    curve_classes: Tuple[str | None, ...] = (None, "gauss1", "laplace")
+    prob_threshs: Tuple[float, ...] = (0.0, 0.95, 1e-5)
+    ngroups: Tuple[int, ...] = (32, 16, 8)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, imgs, extrinsics, intrinsics, depth_range,
+                 train: bool = False):
+        """
+        Args:
+            imgs: (B, V, H, W, 3) float images, view 0 = reference.
+            extrinsics: (B, V, 4, 4); intrinsics: (B, V, 3, 3).
+            depth_range: (B, 2) [min, max].
+        Returns:
+            train: {"depth": [d_1/8, d_1/4, d_1/2, d_full]}
+            eval:  {"depth": (B, H, W), "confidence": (B, H, W)}
+        """
+        nstages = len(self.ndepths)
+        backbone = FPN4Scales(self.chs, dtype=self.dtype, name="backbone")
+        aggregates = [VectorAggregate(self.ngroups[s], dtype=self.dtype,
+                                      name=f"aggregate{s}") for s in range(nstages)]
+        regulars = [RegularNet3Scales(16, dtype=self.dtype, name="regular0")]
+        regulars += [RegularNet4Scales(8, dtype=self.dtype, name=f"regular{s}")
+                     for s in range(1, nstages)]
+        refine = RefineNet2(dtype=self.dtype, name="refine")
+
+        views = [imgs[:, v] for v in range(imgs.shape[1])]
+        features = [backbone(v, train) for v in views]  # V x (y4, y3, y2)
+
+        depth = None
+        depth_hypos = None
+        prob_volume = None
+        depths = []
+        for stage in range(nstages):
+            stage_feats = [f[stage] for f in features]
+            ref_proj, src_projs = geometry.projection_matrices(
+                intrinsics.astype(jnp.float32), extrinsics.astype(jnp.float32),
+                stage, num_stages=nstages + 1)
+
+            if self.curve_classes[stage] is None:
+                depth_hypos = uniform_hypotheses(depth_range, self.ndepths[stage])
+            else:
+                depth_hypos = refined_hypotheses(
+                    depth, depth_range, prob_volume, depth_hypos,
+                    ndepths=self.ndepths[stage],
+                    curve_class=self.curve_classes[stage],
+                    prob_thresh=self.prob_threshs[stage],
+                    upsample=True)
+
+            cost_volume = aggregates[stage](stage_feats, ref_proj, src_projs,
+                                            depth_hypos, train)
+            prob_volume = regulars[stage](cost_volume, train)  # (B, D, h, w) f32
+            depth = depth_regression(prob_volume, depth_hypos)
+            depths.append(depth)
+
+        depth = refine(depth, depth_range, train)
+        depths.append(depth)
+
+        if train:
+            return {"depth": depths}
+
+        confidence = confidence_regression(prob_volume)
+        confidence = resize_nearest_2x(confidence)
+        return {"depth": depth, "confidence": confidence}

@@ -1,0 +1,256 @@
+"""NN building blocks with torch-compatible semantics, channels-last for TPU.
+
+Every module here is designed so that (a) a torch state_dict from the
+reference can be imported losslessly (see utils/pth_import.py) and (b) fresh
+initialisation draws from the same distributions torch's defaults use, making
+retraining comparable. Layout is NHWC / NDHWC throughout — XLA's preferred
+TPU layout — with weights stored HWIO / DHWIO.
+
+torch-default init reproduced here: Conv weights ~ kaiming_uniform(a=sqrt(5)),
+which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with
+fan_in = in_channels * prod(kernel); bias the same bound. BatchNorm scale=1,
+bias=0, running stats (0, 1).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _dimension_numbers(ndim: int):
+    """Channels-last conv dimension numbers for ndim spatial dims (2 or 3)."""
+    spatial = "DHW"[-ndim:] if ndim <= 3 else None
+    return (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+
+
+def _torch_conv_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ConvND(nn.Module):
+    """N-d convolution (channels-last) matching torch Conv{2,3}d defaults.
+
+    Weight layout (*kernel, in_ch, out_ch); symmetric zero padding.
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = len(self.kernel_size)
+        strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
+        pads = (self.padding,) * ndim if isinstance(self.padding, int) else tuple(self.padding)
+        in_ch = x.shape[-1]
+        fan_in = in_ch * int(jnp.prod(jnp.array(self.kernel_size)))
+
+        kernel = self.param("kernel", _torch_conv_init(fan_in),
+                            tuple(self.kernel_size) + (in_ch, self.features))
+        dtype = self.dtype or x.dtype
+        dn = _dimension_numbers(ndim)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=strides,
+            padding=[(p, p) for p in pads],
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTransposeND(nn.Module):
+    """N-d transposed convolution exactly matching torch ConvTranspose{2,3}d.
+
+    torch's transposed conv is the gradient of a forward conv: equivalent to a
+    forward conv on the input dilated by ``stride`` with spatially-flipped
+    kernels and per-side padding (k-1-p, k-1-p+output_padding). Weight stored
+    as (*kernel, out_ch, in_ch) so the flip + channel-swap is explicit.
+
+    torch init for ConvTranspose uses fan_in = out_channels * prod(kernel)
+    (weight.size(1) * receptive_field in torch's _calculate_fan_in).
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    output_padding: Sequence[int] | int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = len(self.kernel_size)
+        strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
+        pads = (self.padding,) * ndim if isinstance(self.padding, int) else tuple(self.padding)
+        opads = (self.output_padding,) * ndim if isinstance(self.output_padding, int) \
+            else tuple(self.output_padding)
+        in_ch = x.shape[-1]
+        fan_in = self.features * int(jnp.prod(jnp.array(self.kernel_size)))
+
+        kernel = self.param("kernel", _torch_conv_init(fan_in),
+                            tuple(self.kernel_size) + (self.features, in_ch))
+        dtype = self.dtype or x.dtype
+
+        # flip spatial dims, swap (out, in) -> HWIO for the forward conv
+        k = jnp.flip(kernel, axis=tuple(range(ndim)))
+        k = jnp.swapaxes(k, -1, -2)  # (*kernel, in_ch, out_ch)
+
+        pad_cfg = [(ks - 1 - p, ks - 1 - p + op)
+                   for ks, p, op in zip(self.kernel_size, pads, opads)]
+        dn = _dimension_numbers(ndim)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), k.astype(dtype),
+            window_strides=(1,) * ndim,
+            padding=pad_cfg,
+            lhs_dilation=strides,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", _torch_conv_init(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the channel (last) axis with torch semantics.
+
+    - normalises with biased batch variance, eps=1e-5;
+    - running stats updated with momentum 0.1 and *unbiased* batch variance
+      (torch's running_var convention);
+    - stats always computed in f32 (bf16-safe), output cast back.
+
+    Per-replica statistics under data parallelism (no cross-device sync),
+    matching torch.nn.DataParallel's behaviour in the reference
+    (SURVEY.md §7 hard part 5).
+    """
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,))
+        bias = self.param("bias", nn.initializers.zeros, (ch,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((ch,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((ch,), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d (no bias) + BN + ReLU. Twin of reference net/unit/base.py:7-26.
+
+    Note: like the reference, the padding actually applied is
+    (kernel_size - 1) // 2 regardless of the ``padding`` argument
+    (base.py:18 hardcodes it).
+    """
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvND(self.features, (self.kernel_size,) * 2, self.strides,
+                   (self.kernel_size - 1) // 2, use_bias=False, dtype=self.dtype,
+                   name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class ConvBNReLU3D(nn.Module):
+    """Conv3d (no bias) + BN + ReLU. Twin of reference net/unit/base.py:50-69."""
+    features: int
+    kernel_size: int = 3
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
+                   self.padding, use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class TrConvBNReLU3D(nn.Module):
+    """ConvTranspose3d (no bias) + BN + ReLU — the upsampling block of the
+    3D U-Nets (reference net/unit/regular.py:33-43, 96-109)."""
+    features: int
+    kernel_size: int = 3
+    strides: Sequence[int] | int = 2
+    padding: int = 1
+    output_padding: Sequence[int] | int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,
+                            self.padding, self.output_padding, use_bias=False,
+                            dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class Res(nn.Module):
+    """Residual block x + 0.1 * conv(relu(conv(x))).
+
+    Twin of reference net/unit/base.py:71-82."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvND(self.features, (3, 3), 1, 1, use_bias=False, dtype=self.dtype,
+                   name="conv0")(x)
+        y = nn.relu(y)
+        y = ConvND(self.features, (3, 3), 1, 1, use_bias=False, dtype=self.dtype,
+                   name="conv1")(y)
+        return x + y * 0.1
+
+
+def pixel_shuffle_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """PixelShuffle(2) on NHWC: (B, H, W, 4C) -> (B, 2H, 2W, C).
+
+    torch PixelShuffle on NCHW groups channels as (C, r, r); in NHWC terms the
+    input channel index is c*4 + dy*2 + dx.
+    """
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, dy, w, dx, c
+    return x.reshape(b, 2 * h, 2 * w, c)

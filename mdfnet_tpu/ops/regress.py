@@ -1,0 +1,55 @@
+"""Depth and confidence regression from probability volumes.
+
+Behavioural twins of reference net/unit/regress.py:5-25, written as pure
+functions over channels-first (B, D, H, W) probability volumes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def depth_regression(prob_volume: jnp.ndarray, depth_hypos: jnp.ndarray) -> jnp.ndarray:
+    """Soft-argmax depth: expectation of the hypotheses under the posterior.
+
+    Args:
+        prob_volume: (B, D, H, W); depth_hypos: (B, D, H, W) or (B, D, 1, 1).
+    Returns:
+        (B, H, W) depth.
+    """
+    return jnp.sum(prob_volume * depth_hypos, axis=1)
+
+
+def confidence_regression(prob_volume: jnp.ndarray, n: int = 4) -> jnp.ndarray:
+    """Posterior mass in an ``n``-bin window around the regressed depth index.
+
+    The reference (net/unit/regress.py:9-18) computes, per pixel, the sum of
+    ``n`` adjacent probability bins via ``n * avg_pool3d`` on a volume padded
+    with (1 front, 2 back) along D, gathered at the *soft-argmax index floored
+    to int*. Window for index i therefore covers bins [i-1, i+2].
+
+    Implemented here as a cumulative-sum difference (exact same window sums,
+    one pass, no pooling kernel) followed by a gather.
+
+    Args:
+        prob_volume: (B, D, H, W).
+    Returns:
+        (B, H, W) confidence in [0, 1].
+    """
+    prob_volume = jax.lax.stop_gradient(prob_volume)
+    b, d, h, w = prob_volume.shape
+    pad_front, pad_back = 1, 2  # reference pad=(0,0,0,0,1,2)
+
+    # window_sum[i] = sum(padded[i : i+n]) = sum(prob[i-pad_front : i-pad_front+n])
+    zeros_f = jnp.zeros((b, pad_front, h, w), prob_volume.dtype)
+    zeros_b = jnp.zeros((b, pad_back, h, w), prob_volume.dtype)
+    padded = jnp.concatenate([zeros_f, prob_volume, zeros_b], axis=1)
+    csum = jnp.cumsum(padded, axis=1)
+    csum = jnp.concatenate([jnp.zeros((b, 1, h, w), prob_volume.dtype), csum], axis=1)
+    window_sum = csum[:, n:] - csum[:, :-n]  # (B, D, H, W) windows starting at i
+
+    index = jnp.arange(d, dtype=prob_volume.dtype).reshape(1, d, 1, 1)
+    depth_index = jnp.sum(prob_volume * index, axis=1).astype(jnp.int32)  # floor via cast
+    depth_index = jnp.clip(depth_index, 0, d - 1)
+    conf = jnp.take_along_axis(window_sum, depth_index[:, None], axis=1)
+    return conf[:, 0]

@@ -1,0 +1,136 @@
+"""Gather-based image sampling with torch-parity border semantics.
+
+JAX has no grid_sample; these are from-scratch gather formulations that XLA
+lowers to vectorised gathers on TPU. The bilinear sampler reproduces torch
+``F.grid_sample(mode='bilinear', padding_mode='zeros', align_corners=False)``
+behaviour *in pixel space*: out-of-range taps contribute zero weight.
+
+Resize helpers reproduce torch ``F.interpolate`` for the two cases the
+pipeline needs (2x bilinear align_corners=False, 2x nearest), used by the FPN
+top-down path (reference net/unit/backbone.py:60-63), hypothesis upsampling
+(net/unit/depthhypos.py:49-51) and confidence upsampling (net/core.py:76-77).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``image`` at float pixel coordinates with zero padding.
+
+    Bilinear taps whose integer neighbour falls outside the image contribute
+    zero (torch grid_sample padding_mode='zeros'): values are gathered with
+    clipped indices and multiplied by a validity mask per tap.
+
+    Args:
+        image: (B, H, W, C) channels-last.
+        x, y:  (B, ...) float pixel coordinates (x along W).
+    Returns:
+        (B, ..., C) sampled values.
+    """
+    b, h, w, c = image.shape
+    out_shape = x.shape[1:]
+    x = x.reshape(b, -1)
+    y = y.reshape(b, -1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = image.reshape(b, h * w, c)
+
+    def tap(xi, yi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        idx = yi_c * w + xi_c  # (B, N)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
+        return vals * valid[..., None].astype(image.dtype)
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
+    out = (v00 * (1 - wx) * (1 - wy)
+           + v01 * wx * (1 - wy)
+           + v10 * (1 - wx) * wy
+           + v11 * wx * wy)
+    return out.reshape((b,) + out_shape + (c,))
+
+
+def bilinear_sample_2d_border(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Like :func:`bilinear_sample_2d` but clamping coordinates to the border.
+
+    Twin of the fusion filter's sampler (reference
+    tools/filter/data_io.py:117-131 bilinear_sampler), which clamps rather than
+    zeroing. Used when resampling src depth maps during consistency checking.
+    """
+    b, h, w, c = image.shape
+    out_shape = x.shape[1:]
+    x = jnp.clip(x.reshape(b, -1), 0.0, w - 1.0)
+    y = jnp.clip(y.reshape(b, -1), 0.0, h - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = image.reshape(b, h * w, c)
+
+    def tap(xi, yi):
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        idx = yi_c * w + xi_c
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
+    out = (v00 * (1 - wx) * (1 - wy)
+           + v01 * wx * (1 - wy)
+           + v10 * (1 - wx) * wy
+           + v11 * wx * wy)
+    return out.reshape((b,) + out_shape + (c,))
+
+
+def resize_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample, half-pixel centers (torch align_corners=False).
+
+    Operates on (..., H, W): output pixel i samples input at (i + 0.5)/2 - 0.5.
+    For integer 2x the taps are fixed (weights 0.25/0.75), so this is a cheap
+    static-stencil implementation that XLA fuses well (no gather needed).
+    """
+    h, w = x.shape[-2], x.shape[-1]
+
+    def upsample_last(v):
+        # v: (..., N) -> (..., 2N) along last axis
+        n = v.shape[-1]
+        left = jnp.concatenate([v[..., :1], v[..., :-1]], axis=-1)
+        right = jnp.concatenate([v[..., 1:], v[..., -1:]], axis=-1)
+        even = 0.75 * v + 0.25 * left   # output 2k  samples at k - 0.25
+        odd = 0.75 * v + 0.25 * right   # output 2k+1 samples at k + 0.25
+        return jnp.stack([even, odd], axis=-1).reshape(v.shape[:-1] + (2 * n,))
+
+    x = upsample_last(x)                      # width
+    x = upsample_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)  # height
+    return x
+
+
+def resize_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample over the trailing two axes (torch 'nearest')."""
+    x = jnp.repeat(x, 2, axis=-1)
+    x = jnp.repeat(x, 2, axis=-2)
+    return x
