@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# sitecustomize may already have imported jax with JAX_PLATFORMS=axon; the
+# backend only initialises on first use, so forcing the platform here still
+# works as long as no test module touches jax at import time before this.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
