@@ -1,0 +1,73 @@
+"""Benchmark: depth-maps/sec/chip at DTU eval resolution (1600x1184, 5 views).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference runs 0.376 s/view on a Quadro RTX 5000 (BASELINE.md),
+i.e. 2.66 depth-maps/sec. vs_baseline = our maps/sec / 2.66.
+
+Runs on whatever jax.devices()[0] is (the real TPU chip under the driver).
+Uses random weights — throughput does not depend on weight values — and
+synthetic DTU-shaped inputs so no dataset is needed on disk.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_SEC_PER_VIEW = 0.376
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mdfnet_tpu.config import ModelConfig
+    from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
+    from mdfnet_tpu.models import build_model
+
+    height, width, nviews = 1184, 1600, 5
+
+    # bf16 conv compute on TPU; fitting/softmax stay f32 internally
+    platform = jax.devices()[0].platform
+    dtype = "bfloat16" if platform != "cpu" else "float32"
+    model = build_model(ModelConfig(compute_dtype=dtype))
+
+    scene = make_plane_scene(height=height, width=width, nviews=nviews,
+                             plane_depth=650.0, tilt=0.05)
+    batch = make_batch(scene, batch=1)
+    args = (jnp.asarray(batch["imgs"]), jnp.asarray(batch["extrinsics"]),
+            jnp.asarray(batch["intrinsics"]), jnp.asarray(batch["depth_range"]))
+
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), *args,
+                                           train=False))()
+
+    @jax.jit
+    def forward(imgs, extr, intr, drange):
+        return model.apply(variables, imgs, extr, intr, drange, train=False)
+
+    # compile + warmup
+    out = forward(*args)
+    jax.block_until_ready(out)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(*args)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    sec_per_view = elapsed / iters
+    maps_per_sec = 1.0 / sec_per_view
+    vs_baseline = maps_per_sec * BASELINE_SEC_PER_VIEW
+
+    print(json.dumps({
+        "metric": "depth-maps/sec/chip @1600x1184x5views",
+        "value": round(maps_per_sec, 4),
+        "unit": "maps/sec",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

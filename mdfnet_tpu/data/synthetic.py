@@ -20,6 +20,7 @@ class SyntheticScene:
     extrinsics: np.ndarray  # (V, 4, 4) world->cam
     depth: np.ndarray       # (H, W) GT depth of view 0
     depth_range: np.ndarray  # (2,)
+    depths: np.ndarray | None = None  # (V, H, W) GT depth of every view
 
 
 def _texture(u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -57,7 +58,7 @@ def make_plane_scene(height: int = 128, width: int = 160, nviews: int = 3,
                          np.arange(width, dtype=np.float64), indexing="ij")
 
     imgs = []
-    depth0 = None
+    depths = []
     for v in range(nviews):
         cx = v * baseline  # camera center world x
         # ray through pixel: world point = cam_origin + z * dir,
@@ -69,15 +70,16 @@ def make_plane_scene(height: int = 128, width: int = 160, nviews: int = 3,
         xw = cx + z * dx
         yw = z * dy
         imgs.append(_texture(xw * 4.0, yw * 4.0))
-        if v == 0:
-            depth0 = z.astype(np.float32)
+        depths.append(z.astype(np.float32))
 
+    depths = np.stack(depths)
     return SyntheticScene(
         imgs=np.stack(imgs),
         intrinsics=intrinsics.astype(np.float32),
         extrinsics=extrinsics.astype(np.float32),
-        depth=depth0,
+        depth=depths[0],
         depth_range=np.array(depth_range, dtype=np.float32),
+        depths=depths,
     )
 
 

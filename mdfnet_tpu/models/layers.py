@@ -13,6 +13,8 @@ bias=0, running stats (0, 1).
 """
 from __future__ import annotations
 
+import math
+
 from typing import Sequence
 
 import jax
@@ -53,7 +55,7 @@ class ConvND(nn.Module):
         strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
         pads = (self.padding,) * ndim if isinstance(self.padding, int) else tuple(self.padding)
         in_ch = x.shape[-1]
-        fan_in = in_ch * int(jnp.prod(jnp.array(self.kernel_size)))
+        fan_in = in_ch * math.prod(self.kernel_size)
 
         kernel = self.param("kernel", _torch_conv_init(fan_in),
                             tuple(self.kernel_size) + (in_ch, self.features))
@@ -98,7 +100,7 @@ class ConvTransposeND(nn.Module):
         opads = (self.output_padding,) * ndim if isinstance(self.output_padding, int) \
             else tuple(self.output_padding)
         in_ch = x.shape[-1]
-        fan_in = self.features * int(jnp.prod(jnp.array(self.kernel_size)))
+        fan_in = self.features * math.prod(self.kernel_size)
 
         kernel = self.param("kernel", _torch_conv_init(fan_in),
                             tuple(self.kernel_size) + (self.features, in_ch))

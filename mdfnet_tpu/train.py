@@ -1,0 +1,121 @@
+"""Training loop + CLI.
+
+Behavioural twin of reference train.py: per-epoch polynomial LR decay,
+epoch-mean loss appended to <ckpt_dir>/epoch_loss.txt, a checkpoint per epoch
+named <dataset>_<epoch>; resume via --pre_model (orbax checkpoint dir or
+reference .pth file — the latter warm-starts weights only, like the
+reference's resume which drops optimizer moments).
+
+Run:  python -m mdfnet_tpu.train -d dtu [-p CKPT] [--root DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdfnet_tpu.config import DataConfig, ModelConfig, TrainConfig
+from mdfnet_tpu.data.pipeline import BatchLoader, device_prefetch
+from mdfnet_tpu.parallel import make_mesh, shard_batch
+from mdfnet_tpu.train_lib import (
+    create_train_state, import_reference_checkpoint, make_train_step,
+    restore_checkpoint, save_checkpoint)
+
+log = logging.getLogger("mdfnet_tpu.train")
+
+
+def _to_jax_batch(batch):
+    return {k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+                if isinstance(v, dict) else jnp.asarray(v))
+            for k, v in batch.items() if not isinstance(v, list)}
+
+
+def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
+          dataset_name: str = "dtu", pre_model: str | None = None,
+          mesh=None) -> None:
+    os.makedirs(train_config.checkpoint_dir, exist_ok=True)
+    mesh = mesh or make_mesh()
+
+    loader = BatchLoader(dataset, train_config.batch_size, shuffle=True,
+                         drop_last=True, num_workers=2, seed=train_config.seed)
+    sample = _to_jax_batch(next(iter(BatchLoader(dataset, train_config.batch_size,
+                                                 drop_last=True, num_workers=0))))
+
+    rng = jax.random.PRNGKey(train_config.seed)
+    model, state = create_train_state(rng, model_config, sample)
+
+    start_epoch = train_config.start_epoch
+    if pre_model:
+        if pre_model.endswith(".pth"):
+            state = import_reference_checkpoint(pre_model, state)
+        else:
+            state = restore_checkpoint(os.path.abspath(pre_model), state)
+        start_epoch = int(state.epoch)
+        log.info("resumed from %s at epoch %d", pre_model, start_epoch)
+
+    step_fn = make_train_step(model, train_config)
+
+    for epoch in range(start_epoch, train_config.max_epochs + 1):
+        state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        epoch_loss, n_batches = 0.0, 0
+        put = lambda b: shard_batch(mesh, _to_jax_batch(b))
+        for i, batch in enumerate(device_prefetch(iter(loader), put)):
+            t0 = time.perf_counter()
+            state, loss = step_fn(state, batch)
+            loss = float(loss)
+            epoch_loss += loss
+            n_batches += 1
+            if i % train_config.log_every == 0:
+                log.info("epoch %d batch %d/%d loss %.5f (%.3fs)",
+                         epoch, i + 1, len(loader), loss,
+                         time.perf_counter() - t0)
+
+        mean_loss = epoch_loss / max(n_batches, 1)
+        log.info("epoch %d mean loss %.5f", epoch, mean_loss)
+        with open(os.path.join(train_config.checkpoint_dir, "epoch_loss.txt"),
+                  "a") as f:
+            f.write(f"{mean_loss}\n")
+        save_checkpoint(
+            os.path.abspath(os.path.join(train_config.checkpoint_dir,
+                                         f"{dataset_name}_{epoch}")), state)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s-%(levelname)s: %(message)s")
+    parser = argparse.ArgumentParser(description="mdfnet_tpu training")
+    parser.add_argument("-p", "--pre_model", default=None,
+                        help="checkpoint to resume (orbax dir or reference .pth)")
+    parser.add_argument("-d", "--dataset", default="dtu",
+                        choices=["dtu", "blendedmvs"])
+    parser.add_argument("--root", default=None, help="dataset root override")
+    args = parser.parse_args(argv)
+
+    data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
+    model_cfg = ModelConfig()
+
+    if args.dataset == "dtu":
+        from mdfnet_tpu.data.datasets import DTUTrainDataset
+        train_cfg = TrainConfig(batch_size=4)
+        dataset = DTUTrainDataset(
+            os.path.join(data_cfg.root_dir, data_cfg.dtu_train_subdir),
+            scans=data_cfg.dtu_train_scans, lightings=data_cfg.dtu_lightings,
+            nviews=train_cfg.nviews, robust_sampling=train_cfg.robust_views)
+    else:
+        from mdfnet_tpu.data.datasets import BlendedMVSTrainDataset
+        train_cfg = TrainConfig(batch_size=6)
+        dataset = BlendedMVSTrainDataset(
+            os.path.join(data_cfg.root_dir, data_cfg.blendedmvs_subdir),
+            nviews=train_cfg.nviews, robust_sampling=train_cfg.robust_views)
+
+    train(dataset, model_cfg, train_cfg, dataset_name=args.dataset,
+          pre_model=args.pre_model)
+
+
+if __name__ == "__main__":
+    main()
