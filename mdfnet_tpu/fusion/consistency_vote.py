@@ -37,6 +37,7 @@ from mdfnet_tpu import geometry
 from mdfnet_tpu.data.formats import (
     ensure_dir, read_cam_file, read_image, read_pair_file, read_pfm)
 from mdfnet_tpu.fusion.ply import write_ply
+from mdfnet_tpu.fusion.pairs import _find_pair_file
 from mdfnet_tpu.ops.sample import bilinear_sample_2d
 
 
@@ -97,7 +98,7 @@ def fuse_scan_vote(scan_dir: str, eval_dir: str, out_ply: str,
                    num_consistent: int = 3, log_fn=print) -> np.ndarray:
     """Fuse a scan with the consistency vote (every view acts as ref once,
     like fusibile's host loop over cameras, main.cpp:787-800)."""
-    _, pairs = read_pair_file(os.path.join(scan_dir, "pair.txt"))
+    _, pairs = read_pair_file(_find_pair_file(scan_dir))
     view_ids = [ref for ref, _ in pairs]
 
     depths, cams_k, cams_e, imgs = {}, {}, {}, {}

@@ -28,6 +28,7 @@ from mdfnet_tpu.data.formats import (
     ensure_dir, read_cam_file, read_image, read_pair_file, read_pfm,
     write_mask_png, write_pfm)
 from mdfnet_tpu.fusion.ply import write_ply
+from mdfnet_tpu.fusion.pairs import _find_pair_file
 from mdfnet_tpu.ops.sample import bilinear_sample_2d
 
 THRESHOLD_STEPS = tuple(range(2, 11))  # the 9-rung dynamic ladder
@@ -131,7 +132,7 @@ def fuse_scan(scan_dir: str, eval_dir: str, out_ply: str,
     PFMs from `eval_dir`; writes masks + filtered depth (if filter_folder)
     and the fused cloud to `out_ply`.
     """
-    _, pairs = read_pair_file(os.path.join(scan_dir, "pair.txt"))
+    _, pairs = read_pair_file(_find_pair_file(scan_dir))
     if filter_folder:
         ensure_dir(filter_folder)
 

@@ -29,6 +29,7 @@ from mdfnet_tpu.data.formats import (
     ensure_dir, read_cam_file, read_image, read_pair_file, read_pfm)
 from mdfnet_tpu.fusion.native import segment_filter, zbuffer_elect
 from mdfnet_tpu.fusion.ply import write_ply
+from mdfnet_tpu.fusion.pairs import _find_pair_file
 
 
 def _centers(h, w):
@@ -209,7 +210,7 @@ def fuse_scan_pcd(scan_dir: str, eval_dir: str, out_ply: str,
                   seg_size: int = 10, with_normals: bool = True,
                   log_fn=print) -> np.ndarray:
     """Full pcd pipeline over a scan (twin of reference get_cloud)."""
-    _, pairs = read_pair_file(os.path.join(scan_dir, "pair.txt"))
+    _, pairs = read_pair_file(_find_pair_file(scan_dir))
     view_ids = [r for r, _ in pairs]
     srcs_of = {r: [s for s in srcs if s in view_ids][:nviews]
                for r, srcs in pairs}

@@ -40,6 +40,8 @@ def test_poly_lr_schedule():
 def test_overfit_decreases_loss(small_setup):
     batch, cfg, model, state = small_setup
     step = make_train_step(model, cfg)
+    # the step donates its input state; keep the module-scoped fixture alive
+    state = jax.tree_util.tree_map(jnp.copy, state)
     losses = []
     for _ in range(8):
         state, loss = step(state, batch)
