@@ -81,11 +81,17 @@ def test_data_parallel_matches_single_device(small_setup):
     loss_dp, grads_dp = grad_fn(state.params, sharded)
 
     np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(grads_single),
-                    jax.tree_util.tree_leaves(grads_dp)):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+    flat_s = [np.asarray(g).ravel() for g in
+              jax.tree_util.tree_leaves(grads_single)]
+    flat_d = [np.asarray(g).ravel() for g in
+              jax.tree_util.tree_leaves(grads_dp)]
+    a = np.concatenate(flat_s)
+    b = np.concatenate(flat_d)
+    # elementwise tolerance scaled by the global gradient magnitude: a leaf
+    # whose true gradient is ~0 carries only reduction-order noise and must
+    # not fail on its own tiny scale
+    gmax = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=1e-4 * gmax, rtol=1e-3)
 
     # and the full optimizer step executes under sharding
     step = make_train_step(model, cfg)
