@@ -12,6 +12,7 @@ top-down path (reference net/unit/backbone.py:60-63), hypothesis upsampling
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,8 +20,15 @@ def bilinear_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jn
     """Sample ``image`` at float pixel coordinates with zero padding.
 
     Bilinear taps whose integer neighbour falls outside the image contribute
-    zero (torch grid_sample padding_mode='zeros'): values are gathered with
-    clipped indices and multiplied by a validity mask per tap.
+    zero (torch grid_sample padding_mode='zeros').
+
+    TPU implementation note: the four taps are fetched with ONE windowed
+    gather of a (2, 2, C) slice from a zero-padded copy of the image instead
+    of four independent row gathers — gathers on TPU cost per row touched, so
+    halving the rows and doubling their width is ~4x cheaper for the small C
+    this pipeline uses. Border semantics are preserved without masks: any
+    fully out-of-range coordinate is snapped to -1.0, where both of its taps
+    land in the zero padding or carry zero weight.
 
     Args:
         image: (B, H, W, C) channels-last.
@@ -30,37 +38,41 @@ def bilinear_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jn
     """
     b, h, w, c = image.shape
     out_shape = x.shape[1:]
-    x = x.reshape(b, -1)
-    y = y.reshape(b, -1)
+    x = x.reshape(b, -1).astype(jnp.float32)
+    y = y.reshape(b, -1).astype(jnp.float32)
+    n = x.shape[1]
+
+    # snap fully-outside coords to -1.0: tap0 then reads the zero pad and
+    # tap1 gets weight x - floor(x) = 0 exactly
+    x = jnp.where((x <= -1.0) | (x >= w), -1.0, x)
+    y = jnp.where((y <= -1.0) | (y >= h), -1.0, y)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    wx = (x - x0)[..., None].astype(image.dtype)
+    wy = (y - y0)[..., None].astype(image.dtype)
 
-    flat = image.reshape(b, h * w, c)
+    padded = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # window start in padded coords; y0 in [-1, h-1] -> start in [0, h]
+    starts = jnp.stack([y0.astype(jnp.int32) + 1,
+                        x0.astype(jnp.int32) + 1], axis=-1)  # (B, N, 2)
 
-    def tap(xi, yi):
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xi_c = jnp.clip(xi, 0, w - 1)
-        yi_c = jnp.clip(yi, 0, h - 1)
-        idx = yi_c * w + xi_c  # (B, N)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
-        return vals * valid[..., None].astype(image.dtype)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),          # window dims in the output
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),          # indices address (H, W) of padded
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    windows = jax.lax.gather(
+        padded, starts, dnums,
+        slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (B, N, 2, 2, C)
 
-    v00 = tap(x0i, y0i)
-    v01 = tap(x0i + 1, y0i)
-    v10 = tap(x0i, y0i + 1)
-    v11 = tap(x0i + 1, y0i + 1)
-
-    wx = wx[..., None].astype(image.dtype)
-    wy = wy[..., None].astype(image.dtype)
-    out = (v00 * (1 - wx) * (1 - wy)
-           + v01 * wx * (1 - wy)
-           + v10 * (1 - wx) * wy
-           + v11 * wx * wy)
+    top = windows[:, :, 0, 0] * (1 - wx) + windows[:, :, 0, 1] * wx
+    bot = windows[:, :, 1, 0] * (1 - wx) + windows[:, :, 1, 1] * wx
+    out = top * (1 - wy) + bot * wy
     return out.reshape((b,) + out_shape + (c,))
 
 
