@@ -25,6 +25,9 @@ class ModelConfig:
     # compute dtype for conv stacks: "float32" | "bfloat16";
     # geometry/softmax/fitting always run f32.
     compute_dtype: str = "float32"
+    # plane-sweep warp implementation: "dense" (gather-free matmul path,
+    # exact for MVS-style cameras) | "gather" (guaranteed-exact)
+    warp_impl: str = "dense"
 
 
 @dataclasses.dataclass(frozen=True)

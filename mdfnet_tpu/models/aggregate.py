@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from mdfnet_tpu.models.layers import BatchNorm, ConvND
 from mdfnet_tpu.ops.warp import homography_warp
+from mdfnet_tpu.ops.warp_dense import homography_warp_dense
 
 
 class DepthWeight(nn.Module):
@@ -42,6 +43,10 @@ class DepthWeight(nn.Module):
 class VectorAggregate(nn.Module):
     ngroups: int = 8
     dtype: jnp.dtype | None = None
+    # "dense": gather-free tent-kernel matmul warp (fast TPU path, exact for
+    #          MVS-style cameras — see ops/warp_dense.py);
+    # "gather": guaranteed-exact windowed-gather warp.
+    warp_impl: str = "dense"
 
     @nn.compact
     def __call__(self, features, ref_proj, src_projs, depth_hypos, train: bool = False):
@@ -63,11 +68,13 @@ class VectorAggregate(nn.Module):
 
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
 
+        warp = (homography_warp_dense if self.warp_impl == "dense"
+                else homography_warp)
         volume_sum = 0.0
         weight_sum = 0.0
         for v in range(len(src_feats)):
-            warped = homography_warp(src_feats[v], src_projs[:, v], ref_proj,
-                                     depth_hypos)  # (B, D, H, W, C)
+            warped = warp(src_feats[v], src_projs[:, v], ref_proj,
+                          depth_hypos)  # (B, D, H, W, C)
             warped = _softmax_groups(warped, g, cg)  # (B, D, H, W, G, C/G)
             sim = jnp.sum(warped * ref_unit, axis=-1)  # (B, D, H, W, G)
             wgt = weight_net(sim, train)  # (B, D, H, W, 1)

@@ -41,6 +41,7 @@ class CoreNet(nn.Module):
     curve_classes: Tuple[str | None, ...] = (None, "gauss1", "laplace")
     prob_threshs: Tuple[float, ...] = (0.0, 0.95, 1e-5)
     ngroups: Tuple[int, ...] = (32, 16, 8)
+    warp_impl: str = "dense"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -58,6 +59,7 @@ class CoreNet(nn.Module):
         nstages = len(self.ndepths)
         backbone = FPN4Scales(self.chs, dtype=self.dtype, name="backbone")
         aggregates = [VectorAggregate(self.ngroups[s], dtype=self.dtype,
+                                      warp_impl=self.warp_impl,
                                       name=f"aggregate{s}") for s in range(nstages)]
         regulars = [RegularNet3Scales(16, dtype=self.dtype, name="regular0")]
         regulars += [RegularNet4Scales(8, dtype=self.dtype, name=f"regular{s}")

@@ -18,6 +18,7 @@ def build_model(config: ModelConfig | None = None) -> CoreNet:
         curve_classes=tuple(config.curve_classes),
         prob_threshs=tuple(config.prob_threshs),
         ngroups=tuple(config.ngroups),
+        warp_impl=config.warp_impl,
         dtype=_DTYPES[config.compute_dtype],
     )
 

@@ -1,0 +1,133 @@
+"""Gather-free plane-sweep warping: dynamic slices + tent-kernel matmuls.
+
+TPU gathers cost per row touched, which makes the classic gather-based
+bilinear warp the pipeline bottleneck (~85% of forward time at DTU eval
+resolution). This implementation removes gathers entirely:
+
+For every output tile of T consecutive x-pixels at fixed (batch, depth-plane,
+row), the source support is a small (K rows x Wx cols) window whose corner is
+found with a min-reduction and fetched with ONE dynamic slice (XLA lowers the
+vmapped slice to a wide, efficient gather of 100KB-class blocks). Bilinear
+interpolation is then expressed densely with the tent kernel
+
+    w(dx) = relu(1 - |dx|)
+
+so the x-interpolation becomes an (K*C, Wx) x (Wx, T) matmul on the MXU and
+the y-interpolation a cheap per-sample weighted sum. The tent formulation
+reproduces ``grid_sample(padding_mode='zeros')`` semantics exactly: taps at
+distance >= 1 get weight 0, and out-of-image taps fall outside the clamped
+window or under a zero weight.
+
+Exactness condition: each tile's true tap span must fit the static window
+(span_x + 2 <= Wx, span_y + 2 <= K). For MVS-style cameras (similar
+intrinsics, moderate baselines) a 16-row x (T+64)-col window covers with
+huge margin; `coverage_ok` reports whether it held so callers can assert or
+fall back to the gather path (ops/sample.py).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mdfnet_tpu import geometry
+
+
+def _tent(delta: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+
+def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    *, x_tile: int = 128, y_window: int = 16,
+                    x_margin: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear zeros-padding sampling of rows of coordinates.
+
+    Args:
+        image: (B, H, W, C).
+        x, y: (B, R, T_total) float pixel coords, organised as rows whose
+            coordinates are spatially coherent (plane-sweep rows are).
+    Returns:
+        (samples (B, R, T_total, C), coverage_ok scalar bool).
+    """
+    b, h, w, c = image.shape
+    _, r, t_total = x.shape
+    tile = x_tile
+    n_tiles = -(-t_total // tile)
+    pad = n_tiles * tile - t_total
+    if pad:
+        # pad with -2.0: safely out of image -> zero contribution
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)), constant_values=-2.0)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad)), constant_values=-2.0)
+
+    wx_win = min(tile + 2 * x_margin, w)
+    k_win = min(y_window, h)
+
+    xt = x.reshape(b, r * n_tiles, tile)
+    yt = y.reshape(b, r * n_tiles, tile)
+
+    # ignore out-of-image coords when locating the window corner
+    x_in = jnp.where((xt > -1.0) & (xt < w), xt, jnp.inf)
+    y_in = jnp.where((yt > -1.0) & (yt < h), yt, jnp.inf)
+    x_min = jnp.min(x_in, axis=-1)
+    y_min = jnp.min(y_in, axis=-1)
+    x_max = jnp.max(jnp.where(jnp.isinf(x_in), -jnp.inf, x_in), axis=-1)
+    y_max = jnp.max(jnp.where(jnp.isinf(y_in), -jnp.inf, y_in), axis=-1)
+    # all-out-of-image tile: harmless window at origin
+    x_min = jnp.where(jnp.isinf(x_min), 0.0, x_min)
+    y_min = jnp.where(jnp.isinf(y_min), 0.0, y_min)
+
+    x_start = jnp.clip(jnp.floor(x_min).astype(jnp.int32), 0, w - wx_win)
+    y_start = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0, h - k_win)
+
+    cover_x = (jnp.floor(x_max) + 1 - jnp.maximum(jnp.floor(x_min), 0)) \
+        <= (wx_win - 1)
+    cover_y = (jnp.floor(y_max) + 1 - jnp.maximum(jnp.floor(y_min), 0)) \
+        <= (k_win - 1)
+    coverage_ok = jnp.all(cover_x & cover_y)
+
+    def per_tile(img, xs, ys, x0, y0):
+        # img: (H, W, C); xs, ys: (tile,); x0, y0: scalars
+        window = jax.lax.dynamic_slice(img, (y0, x0, 0), (k_win, wx_win, c))
+        kx = _tent(xs[:, None] - (x0 + jnp.arange(wx_win, dtype=jnp.float32))
+                   [None, :]).astype(img.dtype)            # (T, Wx)
+        ky = _tent(ys[:, None] - (y0 + jnp.arange(k_win, dtype=jnp.float32))
+                   [None, :]).astype(img.dtype)            # (T, K)
+        # x-contraction on the MXU: (K, Wx, C) x (T, Wx) -> (T, K, C)
+        z = jnp.einsum("kxc,tx->tkc", window, kx,
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("tkc,tk->tc", z, ky.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return out.astype(img.dtype)
+
+    samples = jax.vmap(  # over batch
+        jax.vmap(per_tile, in_axes=(None, 0, 0, 0, 0)),
+        in_axes=(0, 0, 0, 0, 0))(image, xt, yt, x_start, y_start)
+
+    samples = samples.reshape(b, r, n_tiles * tile, c)[:, :, :t_total]
+    return samples, coverage_ok
+
+
+def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
+                          ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
+                          *, x_tile: int = 128, y_window: int = 16,
+                          x_margin: int = 64) -> jnp.ndarray:
+    """Drop-in twin of ops.warp.homography_warp on the dense matmul path.
+
+    Returns (B, D, H, W, C); see module docstring for the exactness
+    condition (checked but not enforced — use homography_warp for a
+    guaranteed-exact fallback).
+    """
+    b, h, w, c = src_feat.shape
+    d = depth_hypos.shape[1]
+
+    x_src, y_src = geometry.sweep_coordinates(
+        src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
+        depth_hypos.astype(jnp.float32), h, w)
+    x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
+    x_eff = jax.lax.stop_gradient(x_eff).reshape(b, d * h, w)
+    y_eff = jax.lax.stop_gradient(y_eff).reshape(b, d * h, w)
+
+    samples, _ = dense_sample_2d(src_feat, x_eff, y_eff, x_tile=x_tile,
+                                 y_window=y_window, x_margin=x_margin)
+    return samples.reshape(b, d, h, w, c)
