@@ -6,23 +6,27 @@ resolution). This implementation removes gathers entirely:
 
 For every output tile of T consecutive x-pixels at fixed (batch, depth-plane,
 row), the source support is a small (K rows x Wx cols) window whose corner is
-found with a min-reduction and fetched with ONE dynamic slice (XLA lowers the
-vmapped slice to a wide, efficient gather of 100KB-class blocks). Bilinear
+found with a min-reduction and fetched with ONE dynamic slice. Bilinear
 interpolation is then expressed densely with the tent kernel
 
     w(dx) = relu(1 - |dx|)
 
-so the x-interpolation becomes an (K*C, Wx) x (Wx, T) matmul on the MXU and
+so the x-interpolation becomes a (K*C, Wx) x (Wx, T) matmul on the MXU and
 the y-interpolation a cheap per-sample weighted sum. The tent formulation
 reproduces ``grid_sample(padding_mode='zeros')`` semantics exactly: taps at
 distance >= 1 get weight 0, and out-of-image taps fall outside the clamped
 window or under a zero weight.
 
+TPU memory layout: the source is pre-transposed to (H, C, W) so the sliced
+windows are (K, C, Wx) with the 256-wide x-window on the 128-lane axis (no
+padding blowup), and tiles are processed in scanned chunks so only
+``chunk_tiles`` windows are ever live in HBM.
+
 Exactness condition: each tile's true tap span must fit the static window
-(span_x + 2 <= Wx, span_y + 2 <= K). For MVS-style cameras (similar
-intrinsics, moderate baselines) a 16-row x (T+64)-col window covers with
-huge margin; `coverage_ok` reports whether it held so callers can assert or
-fall back to the gather path (ops/sample.py).
+(span + 2 <= window). For MVS-style cameras (similar intrinsics, moderate
+baselines) a 16-row x (T+2*64)-col window covers with huge margin;
+``coverage_ok`` reports whether it held so callers can assert or fall back to
+the gather path (ops/sample.py).
 """
 from __future__ import annotations
 
@@ -40,8 +44,9 @@ def _tent(delta: jnp.ndarray) -> jnp.ndarray:
 
 def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                     *, x_tile: int = 128, y_window: int = 16,
-                    x_margin: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bilinear zeros-padding sampling of rows of coordinates.
+                    x_margin: int = 64, chunk_tiles: int = 512
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear zeros-padding sampling of rows of coherent coordinates.
 
     Args:
         image: (B, H, W, C).
@@ -63,17 +68,23 @@ def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx_win = min(tile + 2 * x_margin, w)
     k_win = min(y_window, h)
 
-    xt = x.reshape(b, r * n_tiles, tile)
-    yt = y.reshape(b, r * n_tiles, tile)
+    total_tiles = r * n_tiles
+    n_chunks = -(-total_tiles // chunk_tiles)
+    tile_pad = n_chunks * chunk_tiles - total_tiles
 
-    # ignore out-of-image coords when locating the window corner
+    xt = x.reshape(b, total_tiles, tile)
+    yt = y.reshape(b, total_tiles, tile)
+    if tile_pad:
+        xt = jnp.pad(xt, ((0, 0), (0, tile_pad), (0, 0)), constant_values=-2.0)
+        yt = jnp.pad(yt, ((0, 0), (0, tile_pad), (0, 0)), constant_values=-2.0)
+
+    # window corners from in-image coords only
     x_in = jnp.where((xt > -1.0) & (xt < w), xt, jnp.inf)
     y_in = jnp.where((yt > -1.0) & (yt < h), yt, jnp.inf)
     x_min = jnp.min(x_in, axis=-1)
     y_min = jnp.min(y_in, axis=-1)
     x_max = jnp.max(jnp.where(jnp.isinf(x_in), -jnp.inf, x_in), axis=-1)
     y_max = jnp.max(jnp.where(jnp.isinf(y_in), -jnp.inf, y_in), axis=-1)
-    # all-out-of-image tile: harmless window at origin
     x_min = jnp.where(jnp.isinf(x_min), 0.0, x_min)
     y_min = jnp.where(jnp.isinf(y_min), 0.0, y_min)
 
@@ -86,26 +97,42 @@ def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         <= (k_win - 1)
     coverage_ok = jnp.all(cover_x & cover_y)
 
+    # (B, H, C, W): x-window lands on the 128-lane axis of the sliced window
+    img_t = jnp.transpose(image, (0, 1, 3, 2))  # (B, H, C, W)
+
+    x_idx = jnp.arange(wx_win, dtype=jnp.float32)
+    y_idx = jnp.arange(k_win, dtype=jnp.float32)
+
     def per_tile(img, xs, ys, x0, y0):
-        # img: (H, W, C); xs, ys: (tile,); x0, y0: scalars
-        window = jax.lax.dynamic_slice(img, (y0, x0, 0), (k_win, wx_win, c))
-        kx = _tent(xs[:, None] - (x0 + jnp.arange(wx_win, dtype=jnp.float32))
-                   [None, :]).astype(img.dtype)            # (T, Wx)
-        ky = _tent(ys[:, None] - (y0 + jnp.arange(k_win, dtype=jnp.float32))
-                   [None, :]).astype(img.dtype)            # (T, K)
-        # x-contraction on the MXU: (K, Wx, C) x (T, Wx) -> (T, K, C)
-        z = jnp.einsum("kxc,tx->tkc", window, kx,
+        # img: (H, C, W); xs, ys: (tile,)
+        window = jax.lax.dynamic_slice(img, (y0, 0, x0), (k_win, c, wx_win))
+        kx = _tent(xs[:, None] - (x0.astype(jnp.float32) + x_idx)[None, :]
+                   ).astype(img.dtype)                       # (T, Wx)
+        ky = _tent(ys[:, None] - (y0.astype(jnp.float32) + y_idx)[None, :])
+        # MXU: contract x -> (T, K, C)
+        z = jnp.einsum("kcx,tx->tkc", window, kx,
                        preferred_element_type=jnp.float32)
-        out = jnp.einsum("tkc,tk->tc", z, ky.astype(jnp.float32),
+        out = jnp.einsum("tkc,tk->tc", z, ky,
                          preferred_element_type=jnp.float32)
         return out.astype(img.dtype)
 
-    samples = jax.vmap(  # over batch
-        jax.vmap(per_tile, in_axes=(None, 0, 0, 0, 0)),
-        in_axes=(0, 0, 0, 0, 0))(image, xt, yt, x_start, y_start)
+    tile_fn = jax.vmap(per_tile, in_axes=(None, 0, 0, 0, 0))
 
-    samples = samples.reshape(b, r, n_tiles * tile, c)[:, :, :t_total]
-    return samples, coverage_ok
+    def per_batch(img, xs, ys, x0s, y0s):
+        def chunk_fn(args):
+            cx, cy, cx0, cy0 = args
+            return tile_fn(img, cx, cy, cx0, cy0)
+
+        chunks = (xs.reshape(n_chunks, chunk_tiles, tile),
+                  ys.reshape(n_chunks, chunk_tiles, tile),
+                  x0s.reshape(n_chunks, chunk_tiles),
+                  y0s.reshape(n_chunks, chunk_tiles))
+        return jax.lax.map(chunk_fn, chunks)  # (n_chunks, chunk, T, C)
+
+    samples = jax.vmap(per_batch)(img_t, xt, yt, x_start, y_start)
+    samples = samples.reshape(b, n_chunks * chunk_tiles, tile, c)
+    samples = samples[:, :total_tiles].reshape(b, r, n_tiles * tile, c)
+    return samples[:, :, :t_total], coverage_ok
 
 
 def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
