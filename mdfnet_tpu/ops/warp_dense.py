@@ -138,7 +138,8 @@ def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                           ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
                           *, x_tile: int = 128, y_window: int = 16,
-                          x_margin: int = 64) -> jnp.ndarray:
+                          x_margin: int = 64, chunk_tiles: int = 512
+                          ) -> jnp.ndarray:
     """Drop-in twin of ops.warp.homography_warp on the dense matmul path.
 
     Returns (B, D, H, W, C); see module docstring for the exactness
@@ -156,5 +157,6 @@ def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
     y_eff = jax.lax.stop_gradient(y_eff).reshape(b, d * h, w)
 
     samples, _ = dense_sample_2d(src_feat, x_eff, y_eff, x_tile=x_tile,
-                                 y_window=y_window, x_margin=x_margin)
+                                 y_window=y_window, x_margin=x_margin,
+                                 chunk_tiles=chunk_tiles)
     return samples.reshape(b, d, h, w, c)
