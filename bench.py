@@ -31,7 +31,8 @@ def main():
     # bf16 conv compute on TPU; fitting/softmax stay f32 internally
     platform = jax.devices()[0].platform
     dtype = "bfloat16" if platform != "cpu" else "float32"
-    model = build_model(ModelConfig(compute_dtype=dtype))
+    warp = "pallas" if platform != "cpu" else "dense"
+    model = build_model(ModelConfig(compute_dtype=dtype, warp_impl=warp))
 
     scene = make_plane_scene(height=height, width=width, nviews=nviews,
                              plane_depth=650.0, tilt=0.05)

@@ -21,6 +21,7 @@ from flax import linen as nn
 from mdfnet_tpu.models.layers import BatchNorm, ConvND
 from mdfnet_tpu.ops.warp import homography_warp
 from mdfnet_tpu.ops.warp_dense import homography_warp_dense
+from mdfnet_tpu.ops.pallas.warp_kernel import homography_warp_pallas
 
 
 class DepthWeight(nn.Module):
@@ -43,9 +44,10 @@ class DepthWeight(nn.Module):
 class VectorAggregate(nn.Module):
     ngroups: int = 8
     dtype: jnp.dtype | None = None
-    # "dense": gather-free tent-kernel matmul warp (fast TPU path, exact for
-    #          MVS-style cameras — see ops/warp_dense.py);
+    # "pallas": fused window-DMA tent-kernel warp kernel (fastest TPU path);
+    # "dense":  gather-free tent-kernel matmul warp in plain XLA;
     # "gather": guaranteed-exact windowed-gather warp.
+    # pallas/dense are exact for MVS-style cameras (see ops/warp_dense.py).
     warp_impl: str = "dense"
 
     @nn.compact
@@ -68,8 +70,9 @@ class VectorAggregate(nn.Module):
 
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
 
-        warp = (homography_warp_dense if self.warp_impl == "dense"
-                else homography_warp)
+        warp = {"dense": homography_warp_dense,
+                "pallas": homography_warp_pallas,
+                "gather": homography_warp}[self.warp_impl]
         volume_sum = 0.0
         weight_sum = 0.0
         for v in range(len(src_feats)):

@@ -10,13 +10,13 @@ row):
   4. y-interpolate with a broadcast-multiply-reduce;
   5. write the (C, T) output block (C on sublanes, T on lanes — no padding).
 
+Grid steps process TG=8 tiles each (Mosaic block shapes need the
+second-to-last dim divisible by 8); all 8 window DMAs of the next step run
+while the current step computes.
+
 Same math and border semantics as ops/sample.py / ops/warp_dense.py (tent
 kernel == bilinear with zeros padding); the win over the XLA dense path is
 explicit window DMA (no materialised gather) overlapped with compute.
-
-Window traffic is K*C*Wx bytes per T samples — ~3x the ideal 4-tap gather
-traffic but fully sequential DMA at HBM bandwidth instead of per-row gather
-issue cost.
 """
 from __future__ import annotations
 
@@ -30,61 +30,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mdfnet_tpu import geometry
 
+TG = 8  # tiles per grid step
 
-def _warp_kernel(xstart_ref, ystart_ref,        # scalar prefetch (n_tiles,)
-                 xs_ref, ys_ref,                # (1, T) VMEM per tile
-                 src_ref,                       # (H, C, W) in ANY/HBM
-                 out_ref,                       # (1, C, T) VMEM block
-                 window, sem,                   # scratch: (2, K, C, Wx), DMA sems
+
+def _warp_kernel(xstart_ref, ystart_ref,        # scalar prefetch (steps, TG)
+                 xs_ref, ys_ref,                # (1, TG, T) VMEM per step
+                 src_ref,                       # (H, C, Wpad) in ANY/HBM
+                 out_ref,                       # (1, TG, C, T) VMEM block
+                 window, sems,                  # (2, TG, K, C, Wx), DMA sems
                  *, k_win: int, wx_win: int, tile: int):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def start_dma(slot, idx):
+    def dma(slot, step, j):
+        # x starts are produced 128-aligned host-side (lane-aligned DMA)
+        x0 = pl.multiple_of(xstart_ref[step, j], 128)
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(ystart_ref[idx], k_win), :,
-                       pl.ds(xstart_ref[idx], wx_win)],
-            window.at[slot],
-            sem.at[slot],
+            src_ref.at[pl.ds(ystart_ref[step, j], k_win), :,
+                       pl.ds(x0, wx_win)],
+            window.at[slot, j],
+            sems.at[slot, j],
         )
 
     @pl.when(i == 0)
     def _():
-        start_dma(0, 0).start()
+        for j in range(TG):
+            dma(0, 0, j).start()
 
     @pl.when(i + 1 < n)
     def _():
-        start_dma((i + 1) % 2, i + 1).start()
+        for j in range(TG):
+            dma((i + 1) % 2, i + 1, j).start()
 
-    start_dma(i % 2, i).wait()
-    win = window[i % 2]  # (K, C, Wx)
+    for j in range(TG):
+        dma(i % 2, i, j).wait()
 
-    c = win.shape[1]
-    xs = xs_ref[0]  # (T,) f32
-    ys = ys_ref[0]
+    c = window.shape[3]
+    # Mosaic iota must be integer-typed; cast after
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wx_win), 1) \
+        .astype(jnp.float32)
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, k_win), 1) \
+        .astype(jnp.float32)
 
-    x0 = xstart_ref[i].astype(jnp.float32)
-    y0 = ystart_ref[i].astype(jnp.float32)
-    x_idx = jax.lax.broadcasted_iota(jnp.float32, (tile, wx_win), 1) + x0
-    y_idx = jax.lax.broadcasted_iota(jnp.float32, (tile, k_win), 1) + y0
-    kx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - x_idx))  # (T, Wx)
-    ky = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - y_idx))  # (T, K)
+    for j in range(TG):
+        win = window[i % 2, j]  # (K, C, Wx)
+        xs = xs_ref[0, j]       # (T,)
+        ys = ys_ref[0, j]
+        x0 = xstart_ref[i, j].astype(jnp.float32)
+        y0 = ystart_ref[i, j].astype(jnp.float32)
+        kx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - (x_iota + x0)))
+        ky = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - (y_iota + y0)))
 
-    dtype = win.dtype
-    # (K*C, Wx) x (Wx, T) -> (K*C, T) on the MXU
-    z = jax.lax.dot_general(
-        win.reshape(k_win * c, wx_win), kx.astype(dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(k_win, c, tile)
-    # y-interpolation: sum_k ky[t, k] * z[k, c, t]
-    out = jnp.sum(z * ky.T[:, None, :], axis=0)  # (C, T)
-    out_ref[0] = out.astype(out_ref.dtype)
+        z = jax.lax.dot_general(
+            win.reshape(k_win * c, wx_win), kx.astype(win.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(k_win, c, tile)
+        out = jnp.sum(z * ky.T[:, None, :], axis=0)  # (C, T)
+        out_ref[0, j] = out.astype(out_ref.dtype)
 
 
-def _tile_geometry(x, y, h, w, tile, k_win, wx_win):
-    """Per-tile window corners + coverage (shared with the dense path)."""
-    total_tiles = x.shape[0]
+def _tile_geometry(x, y, h, w, k_win, wx_win, w_clamp):
+    """Per-tile window corners (x 128-aligned for lane-aligned DMA) +
+    coverage flag."""
     x_in = jnp.where((x > -1.0) & (x < w), x, jnp.inf)
     y_in = jnp.where((y > -1.0) & (y < h), y, jnp.inf)
     x_min = jnp.min(x_in, axis=-1)
@@ -93,11 +101,18 @@ def _tile_geometry(x, y, h, w, tile, k_win, wx_win):
     y_max = jnp.max(jnp.where(jnp.isinf(y_in), -jnp.inf, y_in), axis=-1)
     x_min = jnp.where(jnp.isinf(x_min), 0.0, x_min)
     y_min = jnp.where(jnp.isinf(y_min), 0.0, y_min)
-    x_start = jnp.clip(jnp.floor(x_min).astype(jnp.int32), 0, w - wx_win)
+
+    x_start = jnp.floor(x_min).astype(jnp.int32)
+    x_start = jnp.clip((x_start // 128) * 128, 0, w_clamp - wx_win)
     y_start = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0, h - k_win)
+
+    lo_x = jnp.maximum(jnp.floor(x_min), 0.0)
+    lo_y = jnp.maximum(jnp.floor(y_min), 0.0)
     cover = jnp.all(
-        ((jnp.floor(x_max) + 1 - jnp.maximum(jnp.floor(x_min), 0)) <= (wx_win - 1))
-        & ((jnp.floor(y_max) + 1 - jnp.maximum(jnp.floor(y_min), 0)) <= (k_win - 1)))
+        (x_start.astype(jnp.float32) <= lo_x)
+        & (jnp.floor(x_max) + 1 <= x_start.astype(jnp.float32) + wx_win - 1)
+        & (y_start.astype(jnp.float32) <= lo_y)
+        & (jnp.floor(y_max) + 1 <= y_start.astype(jnp.float32) + k_win - 1))
     return x_start, y_start, cover
 
 
@@ -107,8 +122,7 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                      *, x_tile: int = 256, y_window: int = 8,
                      x_margin: int = 64, interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas twin of ops.warp_dense.dense_sample_2d (B=1 per call inside a
-    vmap-free loop; callers vmap/batch externally).
+    """Pallas twin of ops.warp_dense.dense_sample_2d.
 
     Args:
         image: (H, W, C); x, y: (R, T_total) coherent coordinate rows.
@@ -117,52 +131,82 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     """
     h, w, c = image.shape
     r, t_total = x.shape
-    tile = x_tile
+    tile = min(x_tile, -(-t_total // 128) * 128)
     n_tiles_row = -(-t_total // tile)
     pad = n_tiles_row * tile - t_total
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-2.0)
         y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-2.0)
 
-    wx_win = min(tile + 2 * x_margin, w)
-    # wx must keep lane alignment for the matmul; round up to 128
-    wx_win = min(-(-wx_win // 128) * 128, w)
+    # zero-pad width to a lane multiple; padded columns behave exactly like
+    # grid_sample zeros-padding. The extra 128 covers the 128-alignment of
+    # the window start.
+    w_pad = -(-w // 128) * 128
+    wx_win = min(-(-(tile + 2 * x_margin) // 128) * 128 + 128, w_pad)
     k_win = min(y_window, h)
 
     total_tiles = r * n_tiles_row
+    n_steps = -(-total_tiles // TG)
+    step_pad = n_steps * TG - total_tiles
+
     xt = x.reshape(total_tiles, tile).astype(jnp.float32)
     yt = y.reshape(total_tiles, tile).astype(jnp.float32)
-    x_start, y_start, cover = _tile_geometry(xt, yt, h, w, tile, k_win, wx_win)
+    if step_pad:
+        xt = jnp.pad(xt, ((0, step_pad), (0, 0)), constant_values=-2.0)
+        yt = jnp.pad(yt, ((0, step_pad), (0, 0)), constant_values=-2.0)
+
+    x_start, y_start, cover = _tile_geometry(xt, yt, h, w, k_win, wx_win,
+                                             w_clamp=w_pad)
 
     img_t = jnp.transpose(image, (0, 2, 1))  # (H, C, W)
+    if w_pad != w:
+        img_t = jnp.pad(img_t, ((0, 0), (0, 0), (0, w_pad - w)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(total_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, c, tile), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, k_win, c, wx_win), image.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    xs3 = xt.reshape(n_steps, TG, tile)
+    ys3 = yt.reshape(n_steps, TG, tile)
+    xst = x_start.reshape(n_steps, TG)
+    yst = y_start.reshape(n_steps, TG)
 
     kernel = functools.partial(_warp_kernel, k_win=k_win, wx_win=wx_win,
                                tile=tile)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((total_tiles, c, tile), image.dtype),
-        interpret=interpret,
-    )(x_start, y_start, xt, yt, img_t)
 
+    def run_segment(seg_xst, seg_yst, seg_xs, seg_ys):
+        steps = seg_xst.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((1, TG, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TG, tile), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, TG, c, tile), lambda i, *_: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, TG, k_win, c, wx_win), image.dtype),
+                pltpu.SemaphoreType.DMA((2, TG)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((steps, TG, c, tile), image.dtype),
+            interpret=interpret,
+        )(seg_xst, seg_yst, seg_xs, seg_ys, img_t)
+
+    # the scalar-prefetch arrays live in SMEM for the whole call; segment the
+    # grid so they stay small (SMEM overflows somewhere under ~1.7k steps)
+    max_steps = 512
+    outs = []
+    for s0 in range(0, n_steps, max_steps):
+        s1 = min(s0 + max_steps, n_steps)
+        outs.append(run_segment(xst[s0:s1], yst[s0:s1],
+                                xs3[s0:s1], ys3[s0:s1]))
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    out = out.reshape(n_steps * TG, c, tile)[:total_tiles]
     samples = out.transpose(0, 2, 1).reshape(r, n_tiles_row * tile, c)
     return samples[:, :t_total], cover
 
