@@ -65,21 +65,33 @@ class VectorAggregate(nn.Module):
         g = self.ngroups
         cg = c // g
 
-        # group-softmax of the ref features once; broadcast over D later
-        ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]  # (B, 1, H, W, G, C/G)
-
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
-
         warp = {"dense": homography_warp_dense,
                 "pallas": homography_warp_pallas,
                 "gather": homography_warp}[self.warp_impl]
+
+        if cg == 2:
+            # Pair fast path (the reference config has C/G == 2 at every
+            # stage): softmax([a, b]) == [sigma(a-b), sigma(b-a)], so the
+            # group-softmax + inner product collapses to
+            #   sim_g = p*q + (1-p)(1-q),  p = sigma(wa-wb), q = sigma(ra-rb)
+            # — identical math, no layout-hostile (..., G, 2) reshape.
+            q = nn.sigmoid(ref_feat[..., 0::2] - ref_feat[..., 1::2])
+            q = q[:, None]  # (B, 1, H, W, G)
+        else:
+            ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]
+
         volume_sum = 0.0
         weight_sum = 0.0
         for v in range(len(src_feats)):
             warped = warp(src_feats[v], src_projs[:, v], ref_proj,
                           depth_hypos)  # (B, D, H, W, C)
-            warped = _softmax_groups(warped, g, cg)  # (B, D, H, W, G, C/G)
-            sim = jnp.sum(warped * ref_unit, axis=-1)  # (B, D, H, W, G)
+            if cg == 2:
+                p = nn.sigmoid(warped[..., 0::2] - warped[..., 1::2])
+                sim = p * q + (1.0 - p) * (1.0 - q)  # (B, D, H, W, G)
+            else:
+                soft = _softmax_groups(warped, g, cg)
+                sim = jnp.sum(soft * ref_unit, axis=-1)
             wgt = weight_net(sim, train)  # (B, D, H, W, 1)
             weight_sum = weight_sum + wgt
             volume_sum = volume_sum + wgt * sim

@@ -66,8 +66,22 @@ class CoreNet(nn.Module):
                      for s in range(1, nstages)]
         refine = RefineNet2(dtype=self.dtype, name="refine")
 
-        views = [imgs[:, v] for v in range(imgs.shape[1])]
-        features = [backbone(v, train) for v in views]  # V x (y4, y3, y2)
+        b, nviews = imgs.shape[0], imgs.shape[1]
+        if train:
+            # per-view backbone passes: train-mode BatchNorm statistics must
+            # be computed per view-call like the reference's loop
+            # (net/core.py:42), or training normalisation diverges
+            features = [backbone(imgs[:, v], train) for v in range(nviews)]
+        else:
+            # eval: one backbone pass over all views stacked into the batch
+            # dim (5x the per-conv batch beats five small conv chains on the
+            # MXU); running-stat BN makes this exactly equivalent
+            stacked = imgs.reshape((b * nviews,) + imgs.shape[2:])
+            fs = backbone(stacked, train)  # (y4, y3, y2) each (B*V, ...)
+            features = [
+                tuple(f.reshape((b, nviews) + f.shape[1:])[:, v] for f in fs)
+                for v in range(nviews)
+            ]
 
         depth = None
         depth_hypos = None
