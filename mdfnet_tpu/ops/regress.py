@@ -20,7 +20,9 @@ def depth_regression(prob_volume: jnp.ndarray, depth_hypos: jnp.ndarray) -> jnp.
     return jnp.sum(prob_volume * depth_hypos, axis=1)
 
 
-def confidence_regression(prob_volume: jnp.ndarray, n: int = 4) -> jnp.ndarray:
+def confidence_regression(prob_volume: jnp.ndarray, n: int = 4,
+                          last_confidence: jnp.ndarray | None = None
+                          ) -> jnp.ndarray:
     """Posterior mass in an ``n``-bin window around the regressed depth index.
 
     The reference (net/unit/regress.py:9-18) computes, per pixel, the sum of
@@ -51,5 +53,16 @@ def confidence_regression(prob_volume: jnp.ndarray, n: int = 4) -> jnp.ndarray:
     index = jnp.arange(d, dtype=prob_volume.dtype).reshape(1, d, 1, 1)
     depth_index = jnp.sum(prob_volume * index, axis=1).astype(jnp.int32)  # floor via cast
     depth_index = jnp.clip(depth_index, 0, d - 1)
-    conf = jnp.take_along_axis(window_sum, depth_index[:, None], axis=1)
-    return conf[:, 0]
+    conf = jnp.take_along_axis(window_sum, depth_index[:, None], axis=1)[:, 0]
+
+    if last_confidence is not None:
+        # EMA with the previous (coarser) stage's confidence, 2x bicubic
+        # upsampled — the reference's optional branch (regress.py:20-23,
+        # unused by CoreNet but part of the regression API)
+        import jax.image
+        up = jax.image.resize(last_confidence,
+                              (last_confidence.shape[0],
+                               last_confidence.shape[1] * 2,
+                               last_confidence.shape[2] * 2), method="cubic")
+        conf = 0.8 * up + 0.2 * conf
+    return conf
