@@ -35,7 +35,8 @@ class VarianceAggregate(nn.Module):
         vol_sq_sum = ref_volume ** 2
         for v in range(len(src_feats)):
             warped = warp(src_feats[v], src_projs[:, v], ref_proj, depth_hypos)
-            warped = nn.softmax(warped, axis=1)  # over D, like the reference
+            # the reference softmaxes dim=1 of (B, C, D, H, W) == channels
+            warped = nn.softmax(warped, axis=-1)
             vol_sum = vol_sum + warped
             vol_sq_sum = vol_sq_sum + warped ** 2
 

@@ -59,10 +59,6 @@ def confidence_regression(prob_volume: jnp.ndarray, n: int = 4,
         # EMA with the previous (coarser) stage's confidence, 2x bicubic
         # upsampled — the reference's optional branch (regress.py:20-23,
         # unused by CoreNet but part of the regression API)
-        import jax.image
-        up = jax.image.resize(last_confidence,
-                              (last_confidence.shape[0],
-                               last_confidence.shape[1] * 2,
-                               last_confidence.shape[2] * 2), method="cubic")
-        conf = 0.8 * up + 0.2 * conf
+        from mdfnet_tpu.ops.sample import resize_bicubic_2x
+        conf = 0.8 * resize_bicubic_2x(last_confidence) + 0.2 * conf
     return conf

@@ -141,6 +141,37 @@ def resize_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def resize_bicubic_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bicubic upsample matching torch (align_corners=False, a=-0.75).
+
+    Fixed 4-tap stencils: output 2k samples input at k-0.25, 2k+1 at k+0.25;
+    borders replicate. Weights from the Catmull-Rom-style kernel with
+    a=-0.75 evaluated at distances (1.75, 0.75, 0.25, 1.25)."""
+    w_far, w_near, w_center, w_over = (-0.03515625, 0.26171875,
+                                       0.87890625, -0.10546875)
+
+    def upsample_last(v):
+        def sh(k):  # shift with edge replication
+            if k < 0:
+                return jnp.concatenate([jnp.repeat(v[..., :1], -k, -1),
+                                        v[..., :k]], axis=-1)
+            if k > 0:
+                return jnp.concatenate([v[..., k:],
+                                        jnp.repeat(v[..., -1:], k, -1)], axis=-1)
+            return v
+
+        even = (w_far * sh(-2) + w_near * sh(-1) + w_center * v
+                + w_over * sh(1))
+        odd = (w_over * sh(-1) + w_center * v + w_near * sh(1)
+               + w_far * sh(2))
+        n = v.shape[-1]
+        return jnp.stack([even, odd], axis=-1).reshape(v.shape[:-1] + (2 * n,))
+
+    x = upsample_last(x)
+    x = upsample_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return x
+
+
 def resize_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x nearest upsample over the trailing two axes (torch 'nearest')."""
     x = jnp.repeat(x, 2, axis=-1)
