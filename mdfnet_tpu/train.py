@@ -52,10 +52,14 @@ def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
     start_epoch = train_config.start_epoch
     if pre_model:
         if pre_model.endswith(".pth"):
+            # import_reference_checkpoint already advances past the saved
+            # epoch (mirroring reference train.py:18-21)
             state = import_reference_checkpoint(pre_model, state)
+            start_epoch = int(state.epoch)
         else:
             state = restore_checkpoint(os.path.abspath(pre_model), state)
-        start_epoch = int(state.epoch)
+            # checkpoints are written after an epoch completes
+            start_epoch = int(state.epoch) + 1
         log.info("resumed from %s at epoch %d", pre_model, start_epoch)
 
     step_fn = make_train_step(model, train_config)
