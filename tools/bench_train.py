@@ -1,0 +1,43 @@
+"""Training-step throughput at the reference's DTU train config
+(640x512, 5 views, batch 4) on the current device. Developer tool."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mdfnet_tpu.config import ModelConfig, TrainConfig
+from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
+from mdfnet_tpu.train_lib import create_train_state, make_train_step
+
+
+def main():
+    H, W, V, B = 512, 640, 5, 4
+    scene = make_plane_scene(height=H, width=W, nviews=V, plane_depth=650.0,
+                             tilt=0.05)
+    batch_np = make_batch(scene, batch=B)
+    batch = {k: ({kk: jnp.asarray(vv) for kk, vv in v.items()}
+                 if isinstance(v, dict) else jnp.asarray(v))
+             for k, v in batch_np.items()}
+
+    platform = jax.devices()[0].platform
+    warp = "pallas" if platform != "cpu" else "dense"
+    model_cfg = ModelConfig(warp_impl=warp)
+    train_cfg = TrainConfig(batch_size=B)
+
+    model, state = create_train_state(jax.random.PRNGKey(0), model_cfg, batch)
+    step = make_train_step(model, train_cfg)
+
+    state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step: {dt*1000:.0f} ms  ({B / dt:.2f} items/s, "
+          f"loss {float(loss):.4f})")
+
+
+if __name__ == "__main__":
+    main()
