@@ -74,8 +74,11 @@ class VectorAggregate(nn.Module):
             # Pair fast path (the reference config has C/G == 2 at every
             # stage): softmax([a, b]) == [sigma(a-b), sigma(b-a)], so the
             # group-softmax + inner product collapses to
-            #   sim_g = p*q + (1-p)(1-q),  p = sigma(wa-wb), q = sigma(ra-rb)
-            # — identical math, no layout-hostile (..., G, 2) reshape.
+            #   sim_g = p*q + (1-p)(1-q),  p = sigma(wa-wb), q = sigma(ra-rb).
+            # Warping is linear, so warp(even) - warp(odd) == warp(even-odd):
+            # only the G difference channels are warped — half the DMA and
+            # compute of warping all C channels, bit-identical result
+            # (out-of-image zeros give sigma(0)=0.5 == softmax([0,0])[0]).
             q = nn.sigmoid(ref_feat[..., 0::2] - ref_feat[..., 1::2])
             q = q[:, None]  # (B, 1, H, W, G)
         else:
@@ -84,12 +87,14 @@ class VectorAggregate(nn.Module):
         volume_sum = 0.0
         weight_sum = 0.0
         for v in range(len(src_feats)):
-            warped = warp(src_feats[v], src_projs[:, v], ref_proj,
-                          depth_hypos)  # (B, D, H, W, C)
             if cg == 2:
-                p = nn.sigmoid(warped[..., 0::2] - warped[..., 1::2])
-                sim = p * q + (1.0 - p) * (1.0 - q)  # (B, D, H, W, G)
+                diff = src_feats[v][..., 0::2] - src_feats[v][..., 1::2]
+                p = nn.sigmoid(warp(diff, src_projs[:, v], ref_proj,
+                                    depth_hypos))  # (B, D, H, W, G)
+                sim = p * q + (1.0 - p) * (1.0 - q)
             else:
+                warped = warp(src_feats[v], src_projs[:, v], ref_proj,
+                              depth_hypos)  # (B, D, H, W, C)
                 soft = _softmax_groups(warped, g, cg)
                 sim = jnp.sum(soft * ref_unit, axis=-1)
             wgt = weight_net(sim, train)  # (B, D, H, W, 1)
