@@ -13,10 +13,42 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mdfnet_tpu.models.layers import ConvBNReLU3D, ConvND, TrConvBNReLU3D
+from mdfnet_tpu.models.layers import ConvBNReLU3D, ConvND, TrConvBNReLU3D, _torch_conv_init
+
+
+class ProbConv(nn.Module):
+    """Final 3x3x3 conv to a single channel, emitted as 27 shifted
+    channel-contractions producing (B, D, H, W) directly.
+
+    A conv3d with C_out=1 forces a (B,D,H,W,1) tensor whose 1-wide channel
+    axis lands on the 128-lane dim (128x physical padding — measured 34 ms on
+    its own at DTU eval size). Contracting the channel axis per tap keeps the
+    output layout compact. Parameters stay conv-shaped ((3,3,3,C,1), path
+    <stage>/prob/kernel) so reference checkpoints import unchanged.
+    """
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        kernel = self.param("kernel", _torch_conv_init(c * 27), (3, 3, 3, c, 1))
+        dtype = self.dtype or x.dtype
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        k = kernel.astype(dtype)
+        out = jnp.zeros((b, d, h, w), jnp.float32)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = jax.lax.dynamic_slice(
+                        xp, (0, dz, dy, dx, 0), (b, d, h, w, c))
+                    out = out + jnp.einsum(
+                        "bdhwc,c->bdhw", tap, k[dz, dy, dx, :, 0],
+                        preferred_element_type=jnp.float32)
+        return out
 
 
 class RegularNet3Scales(nn.Module):
@@ -47,8 +79,8 @@ class RegularNet3Scales(nn.Module):
 
         x = x + TrConvBNReLU3D(c0, 3, 2, 1, 1, dtype=self.dtype, name="conv10")(x1, train)
 
-        x = ConvND(1, (3, 3, 3), 1, 1, use_bias=False, dtype=self.dtype, name="prob")(x)
-        return nn.softmax(x[..., 0].astype(jnp.float32), axis=1)
+        x = ProbConv(dtype=self.dtype, name="prob")(x)
+        return nn.softmax(x, axis=1)
 
 
 class RegularNet4Scales(nn.Module):
@@ -84,5 +116,5 @@ class RegularNet4Scales(nn.Module):
         x2 = x2 + TrConvBNReLU3D(c1, 3, ss, 1, sp, dtype=self.dtype, name="trconv32")(x3, train)
         x1 = x1 + TrConvBNReLU3D(c0, 3, ss, 1, sp, dtype=self.dtype, name="trconv21")(x2, train)
 
-        x = ConvND(1, (3, 3, 3), 1, 1, use_bias=False, dtype=self.dtype, name="prob")(x1)
-        return nn.softmax(x[..., 0].astype(jnp.float32), axis=1)
+        x = ProbConv(dtype=self.dtype, name="prob")(x1)
+        return nn.softmax(x, axis=1)
