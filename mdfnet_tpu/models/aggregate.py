@@ -24,21 +24,84 @@ from mdfnet_tpu.ops.warp_dense import homography_warp_dense
 from mdfnet_tpu.ops.pallas.warp_kernel import homography_warp_pallas
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder matching ConvND's param paths (kernel [+ bias])."""
+    shape: tuple
+    fan_in: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        from mdfnet_tpu.models.layers import _torch_conv_init
+        kernel = self.param("kernel", _torch_conv_init(self.fan_in), self.shape)
+        bias = (self.param("bias", _torch_conv_init(self.fan_in),
+                           (self.shape[-1],)) if self.use_bias else None)
+        return kernel, bias
+
+
+class _ScalarFieldBN(nn.Module):
+    """BatchNorm over a single implicit channel, on (B, D, H, W) arrays.
+
+    Same params/stats layout as layers.BatchNorm with one channel (shapes
+    (1,)), same torch semantics (biased normalise, unbiased running update,
+    momentum 0.1) — without ever materialising a (B,D,H,W,1) tensor."""
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((1,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((1,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(xf)
+            var = jnp.var(xf)
+            if not self.is_initializing():
+                n = xf.size
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean = ra_mean.value[0]
+            var = ra_var.value[0]
+        import jax
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale[0] + bias[0]
+        return y.astype(x.dtype)
+
+
 class DepthWeight(nn.Module):
     """sigmoid(Conv3d(G->1,1) -> BN -> ReLU -> Conv3d(1->1,1)) visibility net.
 
-    Twin of reference net/unit/homoaggregate.py:16-20. 1x1x1 convs on
-    channels-last volumes are plain matmuls on the MXU.
+    Twin of reference net/unit/homoaggregate.py:16-20, evaluated as a scalar
+    field: a 1x1x1 conv to ONE channel forces a (B,D,H,W,1) tensor whose
+    1-wide channel axis rides the 128-lane dim (128x physical padding —
+    measured ~6 ms per call at DTU eval size), so the channel contraction,
+    BN, and the 1->1 conv are written directly on (B,D,H,W) arrays.
+    Parameter shapes/paths stay conv-shaped so reference checkpoints import
+    unchanged. Returns (B, D, H, W) (no channel axis).
     """
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, volume, train: bool = False):
-        w = ConvND(1, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv0")(volume)
-        w = BatchNorm(name="bn0")(w, train)
-        w = nn.relu(w)
-        w = ConvND(1, (1, 1, 1), use_bias=True, dtype=self.dtype, name="conv1")(w)
-        return nn.sigmoid(w)
+        g = volume.shape[-1]
+        dtype = self.dtype or volume.dtype
+        k0, _ = _ConvKernel((1, 1, 1, g, 1), g, False, name="conv0")()
+        k1, b1 = _ConvKernel((1, 1, 1, 1, 1), 1, True, name="conv1")()
+
+        s = jnp.einsum("bdhwg,g->bdhw", volume.astype(dtype),
+                       k0[0, 0, 0, :, 0].astype(dtype),
+                       preferred_element_type=jnp.float32).astype(dtype)
+        s = _ScalarFieldBN(name="bn0")(s, train)
+        s = nn.relu(s)
+        s = s * k1[0, 0, 0, 0, 0].astype(s.dtype) + b1[0].astype(s.dtype)
+        return nn.sigmoid(s)
 
 
 class VectorAggregate(nn.Module):
@@ -97,11 +160,11 @@ class VectorAggregate(nn.Module):
                               depth_hypos)  # (B, D, H, W, C)
                 soft = _softmax_groups(warped, g, cg)
                 sim = jnp.sum(soft * ref_unit, axis=-1)
-            wgt = weight_net(sim, train)  # (B, D, H, W, 1)
+            wgt = weight_net(sim, train)  # (B, D, H, W)
             weight_sum = weight_sum + wgt
-            volume_sum = volume_sum + wgt * sim
+            volume_sum = volume_sum + wgt[..., None] * sim
 
-        return volume_sum / weight_sum
+        return volume_sum / weight_sum[..., None]
 
 
 def _softmax_groups(x: jnp.ndarray, groups: int, group_ch: int) -> jnp.ndarray:
