@@ -140,10 +140,13 @@ class BatchNorm(nn.Module):
     """
     momentum: float = 0.1
     epsilon: float = 1e-5
+    # fold > 1: x's channel axis holds `fold` width-folded copies of the true
+    # channels (ws-major, see ops/wfold.py); params stay true-channel-shaped.
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
-        ch = x.shape[-1]
+        ch = x.shape[-1] // self.fold
         scale = self.param("scale", nn.initializers.ones, (ch,))
         bias = self.param("bias", nn.initializers.zeros, (ch,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -153,13 +156,17 @@ class BatchNorm(nn.Module):
 
         xf = x.astype(jnp.float32)
         if train:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.var(xf, axis=axes)
+            if self.fold > 1:
+                xs = xf.reshape(xf.shape[:-1] + (self.fold, ch))
+                axes = tuple(range(xs.ndim - 1))
+                mean = jnp.mean(xs, axis=axes)
+                var = jnp.var(xs, axis=axes)
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
-                n = 1
-                for a in axes:
-                    n *= x.shape[a]
+                n = x.size // ch
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
@@ -167,6 +174,11 @@ class BatchNorm(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
 
+        if self.fold > 1:
+            mean = jnp.tile(mean, self.fold)
+            var = jnp.tile(var, self.fold)
+            scale = jnp.tile(scale, self.fold)
+            bias = jnp.tile(bias, self.fold)
         inv = jax.lax.rsqrt(var + self.epsilon)
         y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(x.dtype)
@@ -194,37 +206,82 @@ class ConvBNReLU(nn.Module):
 
 
 class ConvBNReLU3D(nn.Module):
-    """Conv3d (no bias) + BN + ReLU. Twin of reference net/unit/base.py:50-69."""
+    """Conv3d (no bias) + BN + ReLU. Twin of reference net/unit/base.py:50-69.
+
+    With ``wfold`` the input/output are width-folded (B, D, H, W/4, 4C) and
+    the conv runs with the exactly-equivalent folded kernel (ops/wfold.py) —
+    4x-larger channel dims fill the TPU lanes these small-C volumes would
+    otherwise waste. Parameters keep their unfolded conv shapes/paths."""
     features: int
     kernel_size: int = 3
     strides: Sequence[int] | int = 1
     padding: Sequence[int] | int = 1
     dtype: jnp.dtype | None = None
+    wfold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
-                   self.padding, use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
-        return nn.relu(x)
+        if not self.wfold:
+            x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
+                       self.padding, use_bias=False, dtype=self.dtype,
+                       name="conv")(x)
+            x = BatchNorm(name="bn")(x, train)
+            return nn.relu(x)
+
+        from mdfnet_tpu.ops import wfold as wf
+        assert self.kernel_size == 3 and (
+            self.padding == 1 or tuple(self.padding) == (1, 1, 1))
+        s = ((self.strides,) * 3 if isinstance(self.strides, int)
+             else tuple(self.strides))
+        assert s[0] == s[1] == s[2], "wfold expects isotropic stride"
+        ci = x.shape[-1] // wf.F
+        kernel_holder = _ConvKernelParam((3, 3, 3, ci, self.features),
+                                         ci * 27, name="conv")
+        kernel = kernel_holder()
+        kf = wf.fold_conv_kernel(kernel, stride_w=s[0])
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kf.astype(dtype), window_strides=s,
+            padding=[(1, 1)] * 3, dimension_numbers=_dimension_numbers(3))
+        y = BatchNorm(name="bn", fold=wf.F)(y, train)
+        return nn.relu(y)
+
+
+class _ConvKernelParam(nn.Module):
+    """Bare conv kernel parameter at path <name>/kernel (ConvND-compatible)."""
+    shape: tuple
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _torch_conv_init(self.fan_in), self.shape)
 
 
 class TrConvBNReLU3D(nn.Module):
     """ConvTranspose3d (no bias) + BN + ReLU — the upsampling block of the
-    3D U-Nets (reference net/unit/regular.py:33-43, 96-109)."""
+    3D U-Nets (reference net/unit/regular.py:33-43, 96-109).
+
+    ``wfold`` takes UNFOLDED input and returns a width-folded output (the
+    transposed conv itself runs unfolded; its output is folded before BN)."""
     features: int
     kernel_size: int = 3
     strides: Sequence[int] | int = 2
     padding: int = 1
     output_padding: Sequence[int] | int = 1
     dtype: jnp.dtype | None = None
+    wfold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mdfnet_tpu.ops import wfold as wf
         x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,
                             self.padding, self.output_padding, use_bias=False,
                             dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+        if self.wfold:
+            x = wf.fold_w(x)
+            x = BatchNorm(name="bn", fold=wf.F)(x, train)
+        else:
+            x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
 
 

@@ -5,6 +5,13 @@ Behavioural twins of reference net/unit/regular.py:9-133, on channels-last
 the 4-scale nets (in=16/8ch). Both end in a bias-free 3x3x3 conv to a single
 channel followed by a softmax over the depth axis, producing (B, D, H, W).
 
+TPU note: layers run width-folded (ops/wfold.py) wherever the level's W
+divides the fold requirements — the folded channel dims fill the 128-lane
+axis that these small-C volumes would otherwise pad 8-16x. Folding is an
+exact kernel transform; parity tests cover both paths. Levels whose W breaks
+the divisibility (e.g. DTU stage-1's deepest level at W=50) fall back to the
+plain layout automatically.
+
 The softmax is computed in f32 even when conv compute runs in bf16 — the
 probability volume feeds the distribution-fitting stage, which is precision
 sensitive (SURVEY.md §7 hard part 4).
@@ -17,7 +24,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mdfnet_tpu.models.layers import ConvBNReLU3D, ConvND, TrConvBNReLU3D, _torch_conv_init
+from mdfnet_tpu.models.layers import (
+    ConvBNReLU3D, ConvND, TrConvBNReLU3D, _torch_conv_init)
+from mdfnet_tpu.ops import wfold as wf
 
 
 class ProbConv(nn.Module):
@@ -51,36 +60,104 @@ class ProbConv(nn.Module):
         return out
 
 
+def _can_fold(w_true: int, stride: int) -> bool:
+    """A folded layer needs W%4 (stride 1) or W%8 (stride 2, so the output
+    width stays block-aligned)."""
+    return w_true % (4 if stride == 1 else 8) == 0
+
+
+class _F:
+    """Tracks folded/unfolded state of the activation through the net."""
+
+    def __init__(self, x, use_fold: bool):
+        self.use_fold = use_fold and _can_fold(x.shape[3], 1)
+        self.x = wf.fold_w(x) if self.use_fold else x
+        self.folded = self.use_fold
+
+    def width(self):
+        w = self.x.shape[3]
+        return w * wf.F if self.folded else w
+
+    def conv(self, module_cls, feats, stride, name, train, dtype):
+        want = self.use_fold and _can_fold(self.width(), stride)
+        if want and not self.folded:
+            self.x = wf.fold_w(self.x)
+            self.folded = True
+        elif not want and self.folded:
+            self.x = wf.unfold_w(self.x)
+            self.folded = False
+        self.x = module_cls(feats, 3, stride, 1, dtype=dtype,
+                            wfold=self.folded, name=name)(self.x, train)
+        return self
+
+    def trconv(self, feats, name, train, dtype, stride=2, opad=1):
+        # the transposed conv consumes unfolded input; wfold folds its output
+        if self.folded:
+            self.x = wf.unfold_w(self.x)
+            self.folded = False
+        want_out = self.use_fold and (self.width() * 2) % 4 == 0
+        self.x = TrConvBNReLU3D(feats, 3, stride, 1, opad, dtype=dtype,
+                                wfold=want_out, name=name)(self.x, train)
+        self.folded = want_out
+        return self
+
+    def match(self, other: "_F"):
+        """Convert self's foldedness to match other (for residual adds)."""
+        if self.folded and not other.folded:
+            self.x = wf.unfold_w(self.x)
+            self.folded = False
+        elif not self.folded and other.folded:
+            self.x = wf.fold_w(self.x)
+            self.folded = True
+        return self
+
+    def value(self):
+        return wf.unfold_w(self.x) if self.folded else self.x
+
+
 class RegularNet3Scales(nn.Module):
     """Stage-0 regulariser. Twin of reference net/unit/regular.py:9-69.
 
     H and W must be divisible by 4 (two stride-2 levels)."""
     inner_chs: int = 16
     dtype: jnp.dtype | None = None
+    # width-folding trades 4x conv FLOPs for full lanes; measured net-neutral
+    # on v5e (kept as an option + parity tests for future layer mixes)
+    use_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c0, c1, c2 = self.inner_chs, self.inner_chs * 2, self.inner_chs * 4
         _, d, h, w, _ = x.shape
         assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
+        dt = self.dtype
 
-        x = ConvBNReLU3D(c0, 3, 1, 1, dtype=self.dtype, name="conv01_0")(x, train)
-        x = ConvBNReLU3D(c0, 3, 1, 1, dtype=self.dtype, name="conv01_1")(x, train)
+        s = _F(x, self.use_fold)
+        s.conv(ConvBNReLU3D, c0, 1, "conv01_0", train, dt)
+        s.conv(ConvBNReLU3D, c0, 1, "conv01_1", train, dt)
+        skip0_x, skip0_folded = s.x, s.folded
 
-        x1 = ConvBNReLU3D(c1, 3, 2, 1, dtype=self.dtype, name="conv12_0")(x, train)
-        x1 = ConvBNReLU3D(c1, 3, 1, 1, dtype=self.dtype, name="conv12_1")(x1, train)
-        x1 = ConvBNReLU3D(c1, 3, 1, 1, dtype=self.dtype, name="conv12_2")(x1, train)
+        s.conv(ConvBNReLU3D, c1, 2, "conv12_0", train, dt)
+        s.conv(ConvBNReLU3D, c1, 1, "conv12_1", train, dt)
+        s.conv(ConvBNReLU3D, c1, 1, "conv12_2", train, dt)
+        skip1_x, skip1_folded = s.x, s.folded
 
-        y = ConvBNReLU3D(c2, 3, 2, 1, dtype=self.dtype, name="conv232_0")(x1, train)
-        y = ConvBNReLU3D(c2, 3, 1, 1, dtype=self.dtype, name="conv232_1")(y, train)
-        y = ConvBNReLU3D(c2, 3, 1, 1, dtype=self.dtype, name="conv232_2")(y, train)
-        y = TrConvBNReLU3D(c1, 3, 2, 1, 1, dtype=self.dtype, name="conv232_3")(y, train)
-        x1 = x1 + y
+        s.conv(ConvBNReLU3D, c2, 2, "conv232_0", train, dt)
+        s.conv(ConvBNReLU3D, c2, 1, "conv232_1", train, dt)
+        s.conv(ConvBNReLU3D, c2, 1, "conv232_2", train, dt)
+        s.trconv(c1, "conv232_3", train, dt)
+        # residual add with skip1 (match foldedness)
+        if s.folded != skip1_folded:
+            skip1_x = wf.fold_w(skip1_x) if s.folded else wf.unfold_w(skip1_x)
+        s.x = s.x + skip1_x
 
-        x = x + TrConvBNReLU3D(c0, 3, 2, 1, 1, dtype=self.dtype, name="conv10")(x1, train)
+        s.trconv(c0, "conv10", train, dt)
+        if s.folded != skip0_folded:
+            skip0_x = wf.fold_w(skip0_x) if s.folded else wf.unfold_w(skip0_x)
+        s.x = s.x + skip0_x
 
-        x = ProbConv(dtype=self.dtype, name="prob")(x)
-        return nn.softmax(x, axis=1)
+        out = ProbConv(dtype=dt, name="prob")(s.value())
+        return nn.softmax(out, axis=1)
 
 
 class RegularNet4Scales(nn.Module):
@@ -91,6 +168,7 @@ class RegularNet4Scales(nn.Module):
     sample_stride: Tuple[int, int, int] = (2, 2, 2)
     sample_padding: Tuple[int, int, int] = (1, 1, 1)
     dtype: jnp.dtype | None = None
+    use_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,23 +176,38 @@ class RegularNet4Scales(nn.Module):
                           self.base_chs * 4, self.base_chs * 8)
         _, d, h, w, _ = x.shape
         assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
-        ss, sp = self.sample_stride, self.sample_padding
+        assert tuple(self.sample_stride) == (2, 2, 2), \
+            "anisotropic strides run unfolded"
+        dt = self.dtype
 
-        x1 = ConvBNReLU3D(c0, 3, 1, 1, dtype=self.dtype, name="conv01")(x, train)
+        s = _F(x, self.use_fold)
+        s.conv(ConvBNReLU3D, c0, 1, "conv01", train, dt)
+        x1_x, x1_f = s.x, s.folded
 
-        x2 = ConvBNReLU3D(c1, 3, ss, 1, dtype=self.dtype, name="conv12_0")(x1, train)
-        x2 = ConvBNReLU3D(c1, 3, 1, 1, dtype=self.dtype, name="conv12_1")(x2, train)
+        s.conv(ConvBNReLU3D, c1, 2, "conv12_0", train, dt)
+        s.conv(ConvBNReLU3D, c1, 1, "conv12_1", train, dt)
+        x2_x, x2_f = s.x, s.folded
 
-        x3 = ConvBNReLU3D(c2, 3, ss, 1, dtype=self.dtype, name="conv23_0")(x2, train)
-        x3 = ConvBNReLU3D(c2, 3, 1, 1, dtype=self.dtype, name="conv23_1")(x3, train)
+        s.conv(ConvBNReLU3D, c2, 2, "conv23_0", train, dt)
+        s.conv(ConvBNReLU3D, c2, 1, "conv23_1", train, dt)
+        x3_x, x3_f = s.x, s.folded
 
-        y = ConvBNReLU3D(c3, 3, ss, 1, dtype=self.dtype, name="conv343_0")(x3, train)
-        y = ConvBNReLU3D(c3, 3, 1, 1, dtype=self.dtype, name="conv343_1")(y, train)
-        y = TrConvBNReLU3D(c2, 3, ss, 1, sp, dtype=self.dtype, name="conv343_2")(y, train)
-        x3 = x3 + y
+        s.conv(ConvBNReLU3D, c3, 2, "conv343_0", train, dt)
+        s.conv(ConvBNReLU3D, c3, 1, "conv343_1", train, dt)
+        s.trconv(c2, "conv343_2", train, dt)
+        if s.folded != x3_f:
+            x3_x = wf.fold_w(x3_x) if s.folded else wf.unfold_w(x3_x)
+        s.x = s.x + x3_x
 
-        x2 = x2 + TrConvBNReLU3D(c1, 3, ss, 1, sp, dtype=self.dtype, name="trconv32")(x3, train)
-        x1 = x1 + TrConvBNReLU3D(c0, 3, ss, 1, sp, dtype=self.dtype, name="trconv21")(x2, train)
+        s.trconv(c1, "trconv32", train, dt)
+        if s.folded != x2_f:
+            x2_x = wf.fold_w(x2_x) if s.folded else wf.unfold_w(x2_x)
+        s.x = s.x + x2_x
 
-        x = ProbConv(dtype=self.dtype, name="prob")(x1)
-        return nn.softmax(x, axis=1)
+        s.trconv(c0, "trconv21", train, dt)
+        if s.folded != x1_f:
+            x1_x = wf.fold_w(x1_x) if s.folded else wf.unfold_w(x1_x)
+        s.x = s.x + x1_x
+
+        out = ProbConv(dtype=dt, name="prob")(s.value())
+        return nn.softmax(out, axis=1)
