@@ -129,9 +129,14 @@ class VectorAggregate(nn.Module):
         cg = c // g
 
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
+        impl = self.warp_impl
+        if train and impl == "pallas":
+            # the Pallas kernel has no autodiff rule; the dense path computes
+            # the identical warp with full differentiability
+            impl = "dense"
         warp = {"dense": homography_warp_dense,
                 "pallas": homography_warp_pallas,
-                "gather": homography_warp}[self.warp_impl]
+                "gather": homography_warp}[impl]
 
         if cg == 2:
             # Pair fast path (the reference config has C/G == 2 at every
