@@ -11,7 +11,7 @@ from mdfnet_tpu.train_lib import create_train_state, make_train_step
 
 
 def main():
-    H, W, V, B = 512, 640, 5, 4
+    H, W, V, B = 512, 640, 5, 1  # per-chip batch (the reference splits B=4 over up to 8 GPUs)
     scene = make_plane_scene(height=H, width=W, nviews=V, plane_depth=650.0,
                              tilt=0.05)
     batch_np = make_batch(scene, batch=B)
