@@ -32,7 +32,8 @@ def main():
     platform = jax.devices()[0].platform
     dtype = "bfloat16" if platform != "cpu" else "float32"
     warp = "pallas" if platform != "cpu" else "dense"
-    model = build_model(ModelConfig(compute_dtype=dtype, warp_impl=warp))
+    model = build_model(ModelConfig(compute_dtype=dtype, warp_impl=warp,
+                                    pallas_conv=(platform != "cpu")))
 
     scene = make_plane_scene(height=height, width=width, nviews=nviews,
                              plane_depth=650.0, tilt=0.05)

@@ -26,8 +26,10 @@ class ModelConfig:
     # geometry/softmax/fitting always run f32.
     compute_dtype: str = "float32"
     # plane-sweep warp implementation: "dense" (gather-free matmul path,
-    # exact for MVS-style cameras) | "gather" (guaranteed-exact)
+    # exact for MVS-style cameras) | "pallas" (fused kernel) | "gather"
     warp_impl: str = "dense"
+    # eval-only fused Pallas conv3d for the U-Nets' stride-1 layers
+    pallas_conv: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

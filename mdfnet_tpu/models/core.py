@@ -42,6 +42,7 @@ class CoreNet(nn.Module):
     prob_threshs: Tuple[float, ...] = (0.0, 0.95, 1e-5)
     ngroups: Tuple[int, ...] = (32, 16, 8)
     warp_impl: str = "dense"
+    pallas_conv: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -61,8 +62,12 @@ class CoreNet(nn.Module):
         aggregates = [VectorAggregate(self.ngroups[s], dtype=self.dtype,
                                       warp_impl=self.warp_impl,
                                       name=f"aggregate{s}") for s in range(nstages)]
-        regulars = [RegularNet3Scales(16, dtype=self.dtype, name="regular0")]
-        regulars += [RegularNet4Scales(8, dtype=self.dtype, name=f"regular{s}")
+        regulars = [RegularNet3Scales(16, dtype=self.dtype,
+                                      pallas_eval=self.pallas_conv,
+                                      name="regular0")]
+        regulars += [RegularNet4Scales(8, dtype=self.dtype,
+                                       pallas_eval=self.pallas_conv,
+                                       name=f"regular{s}")
                      for s in range(1, nstages)]
         refine = RefineNet2(dtype=self.dtype, name="refine")
 

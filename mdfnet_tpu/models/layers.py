@@ -218,9 +218,19 @@ class ConvBNReLU3D(nn.Module):
     padding: Sequence[int] | int = 1
     dtype: jnp.dtype | None = None
     wfold: bool = False
+    # eval-only fused Pallas conv (ops/pallas/conv3d_kernel.py): C-on-sublane
+    # layout, BN folded in-kernel; falls back to XLA when training or when
+    # the layer shape is unsupported (stride != 1 or kernel != 3)
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.pallas_eval and not self.wfold:
+            s = ((self.strides,) * 3 if isinstance(self.strides, int)
+                 else tuple(self.strides))
+            if (not train) and self.kernel_size == 3 and s == (1, 1, 1):
+                return self._pallas_path(x)
+
         if not self.wfold:
             x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
                        self.padding, use_bias=False, dtype=self.dtype,
@@ -231,6 +241,31 @@ class ConvBNReLU3D(nn.Module):
         from mdfnet_tpu.ops import wfold as wf
         assert self.kernel_size == 3 and (
             self.padding == 1 or tuple(self.padding) == (1, 1, 1))
+        return self._wfold_path(x, train)
+
+    def _pallas_path(self, x):
+        """Eval: fused Pallas conv with folded BN. Declares the exact same
+        parameter/stat structure as the ConvND+BatchNorm path."""
+        from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
+        b, d, h, w, ci = x.shape
+        co = self.features
+        kernel = _ConvKernelParam((3, 3, 3, ci, co), ci * 27, name="conv")()
+        scale, bias, mean, var = _BNParams(co, name="bn")()
+
+        fscale = scale.astype(jnp.float32) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5)
+        foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
+
+        dtype = self.dtype or x.dtype
+        outs = []
+        for bi in range(b):  # eval runs B=1
+            xi = jnp.transpose(x[bi], (0, 1, 3, 2)).astype(dtype)  # (D,H,C,W)
+            y = conv3d_bn_relu(xi, kernel, fscale, foffset)
+            outs.append(jnp.transpose(y, (0, 1, 3, 2)))
+        return jnp.stack(outs)
+
+    def _wfold_path(self, x, train):
+        from mdfnet_tpu.ops import wfold as wf
         s = ((self.strides,) * 3 if isinstance(self.strides, int)
              else tuple(self.strides))
         assert s[0] == s[1] == s[2], "wfold expects isotropic stride"
@@ -255,6 +290,22 @@ class _ConvKernelParam(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("kernel", _torch_conv_init(self.fan_in), self.shape)
+
+
+class _BNParams(nn.Module):
+    """BatchNorm parameter/stat holder matching layers.BatchNorm's structure,
+    for paths that fold BN into a fused kernel (eval only)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
 
 
 class TrConvBNReLU3D(nn.Module):

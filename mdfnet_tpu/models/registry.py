@@ -19,6 +19,7 @@ def build_model(config: ModelConfig | None = None) -> CoreNet:
         prob_threshs=tuple(config.prob_threshs),
         ngroups=tuple(config.ngroups),
         warp_impl=config.warp_impl,
+        pallas_conv=config.pallas_conv,
         dtype=_DTYPES[config.compute_dtype],
     )
 

@@ -69,8 +69,9 @@ def _can_fold(w_true: int, stride: int) -> bool:
 class _F:
     """Tracks folded/unfolded state of the activation through the net."""
 
-    def __init__(self, x, use_fold: bool):
+    def __init__(self, x, use_fold: bool, pallas_eval: bool = False):
         self.use_fold = use_fold and _can_fold(x.shape[3], 1)
+        self.pallas_eval = pallas_eval
         self.x = wf.fold_w(x) if self.use_fold else x
         self.folded = self.use_fold
 
@@ -87,7 +88,8 @@ class _F:
             self.x = wf.unfold_w(self.x)
             self.folded = False
         self.x = module_cls(feats, 3, stride, 1, dtype=dtype,
-                            wfold=self.folded, name=name)(self.x, train)
+                            wfold=self.folded, pallas_eval=self.pallas_eval,
+                            name=name)(self.x, train)
         return self
 
     def trconv(self, feats, name, train, dtype, stride=2, opad=1):
@@ -124,6 +126,8 @@ class RegularNet3Scales(nn.Module):
     # width-folding trades 4x conv FLOPs for full lanes; measured net-neutral
     # on v5e (kept as an option + parity tests for future layer mixes)
     use_fold: bool = False
+    # eval-only fused Pallas conv for stride-1 layers (C-on-sublane layout)
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,7 +136,7 @@ class RegularNet3Scales(nn.Module):
         assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
         dt = self.dtype
 
-        s = _F(x, self.use_fold)
+        s = _F(x, self.use_fold, self.pallas_eval)
         s.conv(ConvBNReLU3D, c0, 1, "conv01_0", train, dt)
         s.conv(ConvBNReLU3D, c0, 1, "conv01_1", train, dt)
         skip0_x, skip0_folded = s.x, s.folded
@@ -169,6 +173,7 @@ class RegularNet4Scales(nn.Module):
     sample_padding: Tuple[int, int, int] = (1, 1, 1)
     dtype: jnp.dtype | None = None
     use_fold: bool = False
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -180,7 +185,7 @@ class RegularNet4Scales(nn.Module):
             "anisotropic strides run unfolded"
         dt = self.dtype
 
-        s = _F(x, self.use_fold)
+        s = _F(x, self.use_fold, self.pallas_eval)
         s.conv(ConvBNReLU3D, c0, 1, "conv01", train, dt)
         x1_x, x1_f = s.x, s.folded
 

@@ -1,0 +1,130 @@
+"""Pallas fused Conv3d(3x3x3, stride 1) + BN(eval) + ReLU for small-C volumes.
+
+XLA's conv layouts put the channel axis of the cost-volume U-Nets (C in
+8..64) on the 128-lane dim, padding tensors 2-16x physically and dragging
+every conv and its surrounding copies to a fraction of HBM bandwidth. This
+kernel keeps activations in (D, H, C, W) layout — C on sublanes, W on lanes,
+zero padding waste — and fuses the folded BN scale/offset + ReLU.
+
+Mosaic dislikes unaligned lane slices, so the W-taps are pre-shifted
+host-side into the sublane axis: the input is expanded once per conv to
+(D+2, H+2, 3*Ci, Wp) holding the dx in {-1,0,1} shifted copies stacked over
+channels. Each grid step then DMAs a (3, Th+2, 3Ci, Wp) halo slab
+(double-buffered) and accumulates 9 (Co, 3Ci) x (3Ci, W) MXU matmuls — the
+three W-taps ride the contraction dim for free.
+
+Eval-only (BN running stats folded host-side; no autodiff rule — training
+uses the XLA path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_ref,            # (D+2, Hp+2, 3Ci, Wp) ANY/HBM
+                 w_ref,            # (9, Co, 3Ci) VMEM
+                 scale_ref,        # (1, Co) VMEM f32
+                 offset_ref,       # (1, Co) VMEM f32
+                 out_ref,          # (1, Th, Co, Wp) VMEM block
+                 slab, sems,       # scratch (2, 3, Th+2, 3Ci, Wp), DMA sems
+                 *, th: int):
+    d = pl.program_id(0)
+    hb = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+    n = pl.num_programs(0) * n_hb
+
+    def dma(slot, dd, hh):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(dd, 3), pl.ds(hh * th, th + 2)],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    i = d * n_hb + hb
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, d, hb).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
+
+    dma(i % 2, d, hb).wait()
+    cur = slab[i % 2]  # (3, Th+2, 3Ci, Wp)
+
+    scale = scale_ref[0]
+    offset = offset_ref[0]
+    co = w_ref.shape[1]
+    wp = cur.shape[-1]
+
+    for hh in range(th):
+        acc = jnp.zeros((co, wp), jnp.float32)
+        for dz in range(3):
+            for dy in range(3):
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz * 3 + dy], cur[dz, hh + dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+        out_ref[0, hh] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
+                   offset: jnp.ndarray, *, th: int = 8,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused stride-1 conv3d + scale/offset + relu on (D, H, C, W) layout.
+
+    Args:
+        x: (D, H, Ci, W).
+        kernel: (3, 3, 3, Ci, Co) conv weights (as stored by ConvND).
+        scale, offset: (Co,) folded BN (scale = gamma/rsqrt(var+eps),
+            offset = beta - mean*scale).
+    Returns:
+        (D, H, Co, W).
+    """
+    d, h, ci, w = x.shape
+    co = kernel.shape[-1]
+    h_pad = -(-h // th) * th
+    wp = -(-w // 128) * 128
+
+    xp = jnp.pad(x, ((1, 1), (1, 1 + h_pad - h), (0, 0), (1, 1 + wp - w)))
+    # shift dx in {0,1,2} into the channel/sublane axis
+    x3 = jnp.concatenate([xp[..., dx:dx + wp] for dx in range(3)], axis=2)
+
+    # (9, Co, 3Ci) with the dx taps matching x3's stacking order
+    k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
+    k9 = jnp.concatenate([k9[:, :, dx] for dx in range(3)], axis=-1)  # (3,3,Co,3Ci)
+    k9 = k9.reshape(9, co, 3 * ci).astype(x.dtype)
+    scale2 = scale.reshape(1, co).astype(jnp.float32)
+    offset2 = offset.reshape(1, co).astype(jnp.float32)
+
+    kern = functools.partial(_conv_kernel, th=th)
+    out = pl.pallas_call(
+        kern,
+        grid=(d, h_pad // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, co, 3 * ci), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, co, wp), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, h_pad, co, wp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, th + 2, 3 * ci, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x3, k9, scale2, offset2)
+    return out[:, :h, :, :w]
