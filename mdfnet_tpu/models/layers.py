@@ -321,10 +321,21 @@ class TrConvBNReLU3D(nn.Module):
     output_padding: Sequence[int] | int = 1
     dtype: jnp.dtype | None = None
     wfold: bool = False
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from mdfnet_tpu.ops import wfold as wf
+        if self.pallas_eval and not self.wfold and not train:
+            s = ((self.strides,) * 3 if isinstance(self.strides, int)
+                 else tuple(self.strides))
+            op = ((self.output_padding,) * 3
+                  if isinstance(self.output_padding, int)
+                  else tuple(self.output_padding))
+            if (self.kernel_size == 3 and s == (2, 2, 2) and op == (1, 1, 1)
+                    and self.padding == 1):
+                return self._pallas_path(x)
+
         x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,
                             self.padding, self.output_padding, use_bias=False,
                             dtype=self.dtype, name="conv")(x)
@@ -334,6 +345,25 @@ class TrConvBNReLU3D(nn.Module):
         else:
             x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
+
+    def _pallas_path(self, x):
+        """Eval: phase-decomposed fused transposed conv (same param paths)."""
+        from mdfnet_tpu.ops.pallas.conv3d_kernel import trconv3d_bn_relu
+        b, d, h, w, ci = x.shape
+        co = self.features
+        kernel = _ConvKernelParam((3, 3, 3, co, ci), co * 27, name="conv")()
+        scale, bias, mean, var = _BNParams(co, name="bn")()
+        fscale = scale.astype(jnp.float32) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5)
+        foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
+
+        dtype = self.dtype or x.dtype
+        outs = []
+        for bi in range(b):
+            xi = jnp.transpose(x[bi], (0, 1, 3, 2)).astype(dtype)
+            y = trconv3d_bn_relu(xi, kernel, fscale, foffset)
+            outs.append(jnp.transpose(y, (0, 1, 3, 2)))
+        return jnp.stack(outs)
 
 
 class Res(nn.Module):

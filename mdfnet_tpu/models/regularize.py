@@ -99,7 +99,8 @@ class _F:
             self.folded = False
         want_out = self.use_fold and (self.width() * 2) % 4 == 0
         self.x = TrConvBNReLU3D(feats, 3, stride, 1, opad, dtype=dtype,
-                                wfold=want_out, name=name)(self.x, train)
+                                wfold=want_out, pallas_eval=self.pallas_eval,
+                                name=name)(self.x, train)
         self.folded = want_out
         return self
 

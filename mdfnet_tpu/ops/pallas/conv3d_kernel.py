@@ -128,3 +128,48 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         interpret=interpret,
     )(x3, k9, scale2, offset2)
     return out[:, :h, :, :w]
+
+
+def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
+                     offset: jnp.ndarray, *, th: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused ConvTranspose3d(3,stride 2,pad 1,out_pad 1) + BN(eval) + ReLU.
+
+    Phase decomposition: output parity phase (a,b,c) in {0,1}^3 only receives
+    kernel taps of matching parity, so the transposed conv equals 8 stride-1
+    convs ON THE COARSE GRID (run through :func:`conv3d_bn_relu` with
+    zero-embedded 3x3x3 kernels) whose outputs interleave into the 2x volume.
+    Same total FLOP count as the dense transposed conv; no dilated input.
+
+    Args:
+        x: (D, H, Ci, W) coarse input.
+        kernel: (3, 3, 3, Co, Ci) — ConvTransposeND's stored layout.
+        scale, offset: (Co,) folded BN.
+    Returns:
+        (2D, 2H, Co, 2W).
+    """
+    d, h, ci, w = x.shape
+    co = kernel.shape[3]
+    # equivalent forward-conv kernel: flip spatial, swap (Co, Ci) -> (Ci, Co)
+    wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+
+    def phase_taps(e):
+        # returns [(delta, m)]: coarse-input offset and wf spatial index
+        return [(0, 1)] if e == 0 else [(0, 0), (1, 2)]
+
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                kp = jnp.zeros((3, 3, 3, ci, co), kernel.dtype)
+                for dz, mz in phase_taps(a):
+                    for dy, my in phase_taps(b):
+                        for dx, mx in phase_taps(c):
+                            kp = kp.at[1 + dz, 1 + dy, 1 + dx].set(
+                                wf[mz, my, mx])
+                phases.append(conv3d_bn_relu(x, kp, scale, offset, th=th,
+                                             interpret=interpret))
+
+    stacked = jnp.stack(phases).reshape(2, 2, 2, d, h, co, w)
+    out = stacked.transpose(3, 0, 4, 1, 5, 6, 2)  # (D,2,H,2,Co,W,2)
+    return out.reshape(2 * d, 2 * h, co, 2 * w)

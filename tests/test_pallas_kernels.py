@@ -1,0 +1,93 @@
+"""Pallas kernels in interpreter mode vs their exact references."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
+from mdfnet_tpu.ops.pallas.warp_kernel import pallas_sample_2d
+from mdfnet_tpu.ops.sample import bilinear_sample_2d
+
+
+def test_pallas_sample_matches_gather(rng):
+    h, w, c = 40, 260, 8
+    img = rng.randn(h, w, c).astype(np.float32)
+    base_x = np.linspace(-5, w + 3, 200)[None, :]
+    base_y = rng.uniform(4, h - 5, (6, 1))
+    x = (base_x + rng.randn(6, 200) * 0.2).astype(np.float32)
+    y = (base_y + rng.randn(6, 200) * 0.8).astype(np.float32)
+
+    ref = bilinear_sample_2d(jnp.asarray(img[None]),
+                             jnp.asarray(x.reshape(1, -1)),
+                             jnp.asarray(y.reshape(1, -1)))[0]
+    out, cov = pallas_sample_2d(jnp.asarray(img), jnp.asarray(x),
+                                jnp.asarray(y), x_tile=128, y_window=16,
+                                x_margin=32, interpret=True)
+    assert bool(cov)
+    np.testing.assert_allclose(np.asarray(out).reshape(-1, c),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_conv3d_bn_relu_matches_lax_conv(rng):
+    d, h, ci, w, co = 6, 20, 16, 40, 8
+    x = rng.randn(d, h, ci, w).astype(np.float32)
+    k = (rng.randn(3, 3, 3, ci, co) * 0.1).astype(np.float32)
+    scale = (0.5 + rng.rand(co)).astype(np.float32)
+    offset = rng.randn(co).astype(np.float32)
+
+    x_ndhwc = jnp.asarray(x.transpose(0, 1, 3, 2))[None]
+    ref = jax.lax.conv_general_dilated(
+        x_ndhwc, jnp.asarray(k), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+    ref = np.maximum(np.asarray(ref) * scale + offset, 0.0)
+
+    out = conv3d_bn_relu(jnp.asarray(x), jnp.asarray(k), jnp.asarray(scale),
+                         jnp.asarray(offset), th=8, interpret=True)
+    out = np.asarray(out).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_conv3d_bn_relu_via_module(rng):
+    """ConvBNReLU3D(pallas_eval=True) matches the XLA path in interpret mode,
+    sharing the same parameter structure."""
+    import functools
+    from unittest import mock
+    from mdfnet_tpu.models.layers import ConvBNReLU3D
+    from mdfnet_tpu.ops.pallas import conv3d_kernel
+
+    x = jnp.asarray(rng.randn(1, 6, 12, 24, 16).astype(np.float32))
+    m_ref = ConvBNReLU3D(8, dtype=jnp.float32)
+    m_pal = ConvBNReLU3D(8, dtype=jnp.float32, pallas_eval=True)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(v, x)
+
+    forced = functools.partial(conv3d_kernel.conv3d_bn_relu.__wrapped__,
+                               th=8, interpret=True)
+    with mock.patch.object(conv3d_kernel, "conv3d_bn_relu",
+                           jax.jit(forced)):
+        out_pal = m_pal.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=1e-4)
+
+
+def test_trconv3d_bn_relu_matches_module(rng):
+    """Phase-decomposed transposed conv == ConvTransposeND + BN + relu."""
+    from unittest import mock
+    from mdfnet_tpu.models.layers import TrConvBNReLU3D
+    from mdfnet_tpu.ops.pallas import conv3d_kernel
+
+    x = jnp.asarray(rng.randn(1, 4, 10, 24, 16).astype(np.float32))
+    m_ref = TrConvBNReLU3D(8, dtype=jnp.float32)
+    m_pal = TrConvBNReLU3D(8, dtype=jnp.float32, pallas_eval=True)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(v, x)
+
+    orig = conv3d_kernel.conv3d_bn_relu
+
+    def forced(x_, k_, s_, o_, th=8, interpret=False):
+        return orig(x_, k_, s_, o_, th=4, interpret=True)
+
+    with mock.patch.object(conv3d_kernel, "conv3d_bn_relu", forced):
+        out_pal = m_pal.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=1e-4)
