@@ -228,8 +228,9 @@ class ConvBNReLU3D(nn.Module):
         if self.pallas_eval and not self.wfold:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
                  else tuple(self.strides))
-            if (not train) and self.kernel_size == 3 and s == (1, 1, 1):
-                return self._pallas_path(x)
+            if (not train) and self.kernel_size == 3 and s in ((1, 1, 1),
+                                                               (2, 2, 2)):
+                return self._pallas_path(x, s[0])
 
         if not self.wfold:
             x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
@@ -243,7 +244,7 @@ class ConvBNReLU3D(nn.Module):
             self.padding == 1 or tuple(self.padding) == (1, 1, 1))
         return self._wfold_path(x, train)
 
-    def _pallas_path(self, x):
+    def _pallas_path(self, x, stride: int = 1):
         """Eval: fused Pallas conv with folded BN. Declares the exact same
         parameter/stat structure as the ConvND+BatchNorm path."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
@@ -260,7 +261,7 @@ class ConvBNReLU3D(nn.Module):
         outs = []
         for bi in range(b):  # eval runs B=1
             xi = jnp.transpose(x[bi], (0, 1, 3, 2)).astype(dtype)  # (D,H,C,W)
-            y = conv3d_bn_relu(xi, kernel, fscale, foffset)
+            y = conv3d_bn_relu(xi, kernel, fscale, foffset, stride=stride)
             outs.append(jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 

@@ -26,21 +26,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref,            # (D+2, Hp+2, 3Ci, Wp) ANY/HBM
+def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                  w_ref,            # (9, Co, 3Ci) VMEM
                  scale_ref,        # (1, Co) VMEM f32
                  offset_ref,       # (1, Co) VMEM f32
                  out_ref,          # (1, Th, Co, Wp) VMEM block
-                 slab, sems,       # scratch (2, 3, Th+2, 3Ci, Wp), DMA sems
-                 *, th: int):
+                 slab, sems,       # scratch (2, 3, s*Th+2, 3Ci, Wp), DMA sems
+                 *, th: int, stride: int):
     d = pl.program_id(0)
     hb = pl.program_id(1)
     n_hb = pl.num_programs(1)
     n = pl.num_programs(0) * n_hb
+    rows = stride * th + 2
 
     def dma(slot, dd, hh):
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(dd, 3), pl.ds(hh * th, th + 2)],
+            x_ref.at[pl.ds(stride * dd, 3), pl.ds(hh * th * stride, rows)],
             slab.at[slot],
             sems.at[slot],
         )
@@ -56,7 +57,7 @@ def _conv_kernel(x_ref,            # (D+2, Hp+2, 3Ci, Wp) ANY/HBM
         dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
 
     dma(i % 2, d, hb).wait()
-    cur = slab[i % 2]  # (3, Th+2, 3Ci, Wp)
+    cur = slab[i % 2]  # (3, rows, 3Ci, Wp)
 
     scale = scale_ref[0]
     offset = offset_ref[0]
@@ -68,18 +69,19 @@ def _conv_kernel(x_ref,            # (D+2, Hp+2, 3Ci, Wp) ANY/HBM
         for dz in range(3):
             for dy in range(3):
                 acc = acc + jax.lax.dot_general(
-                    w_ref[dz * 3 + dy], cur[dz, hh + dy],
+                    w_ref[dz * 3 + dy], cur[dz, stride * hh + dy],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
         out_ref[0, hh] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "stride", "interpret"))
 def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
-                   offset: jnp.ndarray, *, th: int = 8,
+                   offset: jnp.ndarray, *, th: int = 8, stride: int = 1,
                    interpret: bool = False) -> jnp.ndarray:
-    """Fused stride-1 conv3d + scale/offset + relu on (D, H, C, W) layout.
+    """Fused conv3d (stride 1 or isotropic 2) + scale/offset + relu on
+    (D, H, C, W) layout.
 
     Args:
         x: (D, H, Ci, W).
@@ -87,16 +89,35 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         scale, offset: (Co,) folded BN (scale = gamma/rsqrt(var+eps),
             offset = beta - mean*scale).
     Returns:
-        (D, H, Co, W).
+        (D_out, H_out, Co, W_out) with *_out = ceil(*/stride).
     """
     d, h, ci, w = x.shape
     co = kernel.shape[-1]
-    h_pad = -(-h // th) * th
-    wp = -(-w // 128) * 128
+    d_out = -(-d // stride)
+    h_out = -(-h // stride)
+    w_out = -(-w // stride)
+    h_out_pad = -(-h_out // th) * th
+    wp = -(-w_out // 128) * 128
 
-    xp = jnp.pad(x, ((1, 1), (1, 1 + h_pad - h), (0, 0), (1, 1 + wp - w)))
-    # shift dx in {0,1,2} into the channel/sublane axis
-    x3 = jnp.concatenate([xp[..., dx:dx + wp] for dx in range(3)], axis=2)
+    if stride == 1:
+        xp = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, 0),
+                         (1, 1 + wp - w)))
+        # shift dx in {0,1,2} into the channel/sublane axis
+        x3 = jnp.concatenate([xp[..., dx:dx + wp] for dx in range(3)], axis=2)
+    else:
+        # stride 2: tap columns for output w are x[2w-1], x[2w], x[2w+1] —
+        # i.e. the even/odd interleave [eq, oq, shift(eq, -1)] of the padded
+        # input (eq[w] = xpad[2w], oq[w] = xpad[2w+1])
+        d_pad_back = 2 * d_out + 1 - d - 1
+        # slab height is stride*th + 2 (even size); pad H one row beyond the
+        # 2*h_out_pad + 1 strictly needed so the last slab fits
+        h_rows = 2 * h_out_pad + 2
+        w_cols = 2 * wp + 1
+        xp = jnp.pad(x, ((1, d_pad_back), (1, h_rows - h - 1), (0, 0),
+                         (1, w_cols - w - 1)))
+        eq = xp[..., 0::2]              # (.., wp+1)
+        oq = xp[..., 1::2]              # (.., wp)
+        x3 = jnp.concatenate([eq[..., :wp], oq, eq[..., 1:wp + 1]], axis=2)
 
     # (9, Co, 3Ci) with the dx taps matching x3's stacking order
     k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
@@ -105,10 +126,10 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     scale2 = scale.reshape(1, co).astype(jnp.float32)
     offset2 = offset.reshape(1, co).astype(jnp.float32)
 
-    kern = functools.partial(_conv_kernel, th=th)
+    kern = functools.partial(_conv_kernel, th=th, stride=stride)
     out = pl.pallas_call(
         kern,
-        grid=(d, h_pad // th),
+        grid=(d_out, h_out_pad // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((9, co, 3 * ci), lambda i, j: (0, 0, 0),
@@ -120,14 +141,14 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, th, co, wp), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, h_pad, co, wp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((d_out, h_out_pad, co, wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, th + 2, 3 * ci, wp), x.dtype),
+            pltpu.VMEM((2, 3, stride * th + 2, 3 * ci, wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x3, k9, scale2, offset2)
-    return out[:, :h, :, :w]
+    return out[:, :h_out, :, :w_out]
 
 
 def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,

@@ -61,10 +61,12 @@ def test_conv3d_bn_relu_via_module(rng):
     v = m_ref.init(jax.random.PRNGKey(0), x)
     out_ref = m_ref.apply(v, x)
 
-    forced = functools.partial(conv3d_kernel.conv3d_bn_relu.__wrapped__,
-                               th=8, interpret=True)
-    with mock.patch.object(conv3d_kernel, "conv3d_bn_relu",
-                           jax.jit(forced)):
+    orig = conv3d_kernel.conv3d_bn_relu
+
+    def forced(x_, k_, s_, o_, th=8, stride=1, interpret=False):
+        return orig(x_, k_, s_, o_, th=8, stride=stride, interpret=True)
+
+    with mock.patch.object(conv3d_kernel, "conv3d_bn_relu", forced):
         out_pal = m_pal.apply(v, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
                                atol=1e-4)
@@ -91,3 +93,21 @@ def test_trconv3d_bn_relu_matches_module(rng):
         out_pal = m_pal.apply(v, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
                                atol=1e-4)
+
+
+def test_conv3d_stride2_matches_lax_conv(rng):
+    for (d, h, ci, w, co) in [(6, 20, 16, 40, 8), (7, 19, 8, 33, 16)]:
+        x = rng.randn(d, h, ci, w).astype(np.float32)
+        k = (rng.randn(3, 3, 3, ci, co) * 0.1).astype(np.float32)
+        scale = (0.5 + rng.rand(co)).astype(np.float32)
+        offset = rng.randn(co).astype(np.float32)
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(x.transpose(0, 1, 3, 2))[None], jnp.asarray(k),
+            (2, 2, 2), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+        ref = np.maximum(np.asarray(ref) * scale + offset, 0.0)
+        out = conv3d_bn_relu(jnp.asarray(x), jnp.asarray(k),
+                             jnp.asarray(scale), jnp.asarray(offset),
+                             th=4, stride=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 1, 3, 2), ref,
+                                   atol=1e-4)
