@@ -114,12 +114,17 @@ class VectorAggregate(nn.Module):
     warp_impl: str = "dense"
 
     @nn.compact
-    def __call__(self, features, ref_proj, src_projs, depth_hypos, train: bool = False):
+    def __call__(self, features, ref_proj, src_projs, depth_hypos,
+                 train: bool = False, pair_diffs=None):
         """
         Args:
             features: list of (B, H, W, C) per-view features, ref first.
             ref_proj: (B, 4, 4); src_projs: (B, V-1, 4, 4).
             depth_hypos: (B, D, H, W) or (B, D, 1, 1).
+            pair_diffs: optional list of (B, H, W, G) channel-pair difference
+                features per view (ref first) precomputed by the caller on the
+                stacked backbone output — one sliced subtraction for all views
+                instead of V separate ones.
         Returns:
             (B, D, H, W, G) aggregated cost volume.
         """
@@ -147,8 +152,9 @@ class VectorAggregate(nn.Module):
             # only the G difference channels are warped — half the DMA and
             # compute of warping all C channels, bit-identical result
             # (out-of-image zeros give sigma(0)=0.5 == softmax([0,0])[0]).
-            q = nn.sigmoid(ref_feat[..., 0::2] - ref_feat[..., 1::2])
-            q = q[:, None]  # (B, 1, H, W, G)
+            ref_diff = (pair_diffs[0] if pair_diffs is not None
+                        else ref_feat[..., 0::2] - ref_feat[..., 1::2])
+            q = nn.sigmoid(ref_diff)[:, None]  # (B, 1, H, W, G)
         else:
             ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]
 
@@ -156,7 +162,8 @@ class VectorAggregate(nn.Module):
         weight_sum = 0.0
         for v in range(len(src_feats)):
             if cg == 2:
-                diff = src_feats[v][..., 0::2] - src_feats[v][..., 1::2]
+                diff = (pair_diffs[v + 1] if pair_diffs is not None
+                        else src_feats[v][..., 0::2] - src_feats[v][..., 1::2])
                 p = nn.sigmoid(warp(diff, src_projs[:, v], ref_proj,
                                     depth_hypos))  # (B, D, H, W, G)
                 sim = p * q + (1.0 - p) * (1.0 - q)

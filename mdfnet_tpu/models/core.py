@@ -87,6 +87,13 @@ class CoreNet(nn.Module):
                 tuple(f.reshape((b, nviews) + f.shape[1:])[:, v] for f in fs)
                 for v in range(nviews)
             ]
+            # channel-pair differences for the aggregation (one sliced
+            # subtraction on the stacked tensor per stage, V-for-free)
+            stage_diffs = []
+            for f in fs:
+                dstack = f[..., 0::2] - f[..., 1::2]
+                dstack = dstack.reshape((b, nviews) + dstack.shape[1:])
+                stage_diffs.append([dstack[:, v] for v in range(nviews)])
 
         depth = None
         depth_hypos = None
@@ -108,8 +115,12 @@ class CoreNet(nn.Module):
                     prob_thresh=self.prob_threshs[stage],
                     upsample=True)
 
+            diffs = None
+            if not train and self.ngroups[stage] * 2 == stage_feats[0].shape[-1]:
+                diffs = stage_diffs[stage]
             cost_volume = aggregates[stage](stage_feats, ref_proj, src_projs,
-                                            depth_hypos, train)
+                                            depth_hypos, train,
+                                            pair_diffs=diffs)
             prob_volume = regulars[stage](cost_volume, train)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
