@@ -213,7 +213,7 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                            ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
-                           *, x_tile: int = 256, y_window: int = 8,
+                           *, x_tile: int = 512, y_window: int = 8,
                            x_margin: int = 64,
                            interpret: bool = False) -> jnp.ndarray:
     """Drop-in twin of ops.warp.homography_warp on the Pallas path.
