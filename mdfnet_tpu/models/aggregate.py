@@ -158,14 +158,29 @@ class VectorAggregate(nn.Module):
         else:
             ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]
 
+        warped_diffs = None
+        if cg == 2 and impl == "pallas":
+            # warp every src's diff features in ONE kernel launch
+            from mdfnet_tpu.ops.pallas.warp_kernel import (
+                homography_warp_pallas_multi)
+            diffs = [pair_diffs[v + 1] if pair_diffs is not None
+                     else src_feats[v][..., 0::2] - src_feats[v][..., 1::2]
+                     for v in range(len(src_feats))]
+            warped_diffs = homography_warp_pallas_multi(
+                jnp.stack(diffs, axis=1), src_projs, ref_proj, depth_hypos)
+
         volume_sum = 0.0
         weight_sum = 0.0
         for v in range(len(src_feats)):
             if cg == 2:
-                diff = (pair_diffs[v + 1] if pair_diffs is not None
-                        else src_feats[v][..., 0::2] - src_feats[v][..., 1::2])
-                p = nn.sigmoid(warp(diff, src_projs[:, v], ref_proj,
-                                    depth_hypos))  # (B, D, H, W, G)
+                if warped_diffs is not None:
+                    p = nn.sigmoid(warped_diffs[:, v])  # (B, D, H, W, G)
+                else:
+                    diff = (pair_diffs[v + 1] if pair_diffs is not None
+                            else src_feats[v][..., 0::2]
+                            - src_feats[v][..., 1::2])
+                    p = nn.sigmoid(warp(diff, src_projs[:, v], ref_proj,
+                                        depth_hypos))
                 sim = p * q + (1.0 - p) * (1.0 - q)
             else:
                 warped = warp(src_feats[v], src_projs[:, v], ref_proj,

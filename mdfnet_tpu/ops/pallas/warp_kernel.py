@@ -33,9 +33,9 @@ from mdfnet_tpu import geometry
 TG = 8  # tiles per grid step
 
 
-def _warp_kernel(xstart_ref, ystart_ref,        # scalar prefetch (steps, TG)
+def _warp_kernel(sidx_ref, xstart_ref, ystart_ref,  # scalar prefetch (steps, TG)
                  xs_ref, ys_ref,                # (1, TG, T) VMEM per step
-                 src_ref,                       # (H, C, Wpad) in ANY/HBM
+                 src_ref,                       # (S, H, C, Wpad) in ANY/HBM
                  out_ref,                       # (1, TG, C, T) VMEM block
                  window, sems,                  # (2, TG, K, C, Wx), DMA sems
                  *, k_win: int, wx_win: int, tile: int):
@@ -46,7 +46,8 @@ def _warp_kernel(xstart_ref, ystart_ref,        # scalar prefetch (steps, TG)
         # x starts are produced 128-aligned host-side (lane-aligned DMA)
         x0 = pl.multiple_of(xstart_ref[step, j], 128)
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(ystart_ref[step, j], k_win), :,
+            src_ref.at[sidx_ref[step, j],
+                       pl.ds(ystart_ref[step, j], k_win), :,
                        pl.ds(x0, wx_win)],
             window.at[slot, j],
             sems.at[slot, j],
@@ -129,8 +130,31 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     Returns:
         (samples (R, T_total, C), coverage_ok).
     """
-    h, w, c = image.shape
-    r, t_total = x.shape
+    out, cov = pallas_sample_2d_multi(image[None], x[None], y[None],
+                                      x_tile=x_tile, y_window=y_window,
+                                      x_margin=x_margin, interpret=interpret)
+    return out[0], cov
+
+
+@functools.partial(jax.jit, static_argnames=("x_tile", "y_window", "x_margin",
+                                             "interpret"))
+def pallas_sample_2d_multi(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                           *, x_tile: int = 256, y_window: int = 8,
+                           x_margin: int = 64, interpret: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-source sampling: ONE kernel over all sources' tiles (the source
+    index rides the scalar-prefetch stream into the window DMA).
+
+    Args:
+        image: (S, H, W, C); x, y: (S, R, T_total) per-source coords.
+    Returns:
+        (samples (S, R, T_total, C), coverage_ok).
+    """
+    n_src, h, w, c = image.shape
+    _, r, t_total = x.shape
+    x = x.reshape(n_src * r, t_total)
+    y = y.reshape(n_src * r, t_total)
+    r_all = n_src * r
     tile = min(x_tile, -(-t_total // 128) * 128)
     n_tiles_row = -(-t_total // tile)
     pad = n_tiles_row * tile - t_total
@@ -145,35 +169,38 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx_win = min(-(-(tile + 2 * x_margin) // 128) * 128 + 128, w_pad)
     k_win = min(y_window, h)
 
-    total_tiles = r * n_tiles_row
+    total_tiles = r_all * n_tiles_row
     n_steps = -(-total_tiles // TG)
     step_pad = n_steps * TG - total_tiles
 
     xt = x.reshape(total_tiles, tile).astype(jnp.float32)
     yt = y.reshape(total_tiles, tile).astype(jnp.float32)
+    src_idx = jnp.repeat(jnp.arange(n_src, dtype=jnp.int32), r * n_tiles_row)
     if step_pad:
         xt = jnp.pad(xt, ((0, step_pad), (0, 0)), constant_values=-2.0)
         yt = jnp.pad(yt, ((0, step_pad), (0, 0)), constant_values=-2.0)
+        src_idx = jnp.pad(src_idx, (0, step_pad))
 
     x_start, y_start, cover = _tile_geometry(xt, yt, h, w, k_win, wx_win,
                                              w_clamp=w_pad)
 
-    img_t = jnp.transpose(image, (0, 2, 1))  # (H, C, W)
+    img_t = jnp.transpose(image, (0, 1, 3, 2))  # (S, H, C, W)
     if w_pad != w:
-        img_t = jnp.pad(img_t, ((0, 0), (0, 0), (0, w_pad - w)))
+        img_t = jnp.pad(img_t, ((0, 0), (0, 0), (0, 0), (0, w_pad - w)))
 
     xs3 = xt.reshape(n_steps, TG, tile)
     ys3 = yt.reshape(n_steps, TG, tile)
     xst = x_start.reshape(n_steps, TG)
     yst = y_start.reshape(n_steps, TG)
+    sidx = src_idx.reshape(n_steps, TG)
 
     kernel = functools.partial(_warp_kernel, k_win=k_win, wx_win=wx_win,
                                tile=tile)
 
-    def run_segment(seg_xst, seg_yst, seg_xs, seg_ys):
+    def run_segment(seg_sidx, seg_xst, seg_yst, seg_xs, seg_ys):
         steps = seg_xst.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(steps,),
             in_specs=[
                 pl.BlockSpec((1, TG, tile), lambda i, *_: (i, 0, 0),
@@ -194,7 +221,7 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((steps, TG, c, tile), image.dtype),
             interpret=interpret,
-        )(seg_xst, seg_yst, seg_xs, seg_ys, img_t)
+        )(seg_sidx, seg_xst, seg_yst, seg_xs, seg_ys, img_t)
 
     # the scalar-prefetch arrays live in SMEM for the whole call; segment the
     # grid so they stay small (SMEM overflows somewhere under ~1.7k steps)
@@ -202,13 +229,13 @@ def pallas_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     outs = []
     for s0 in range(0, n_steps, max_steps):
         s1 = min(s0 + max_steps, n_steps)
-        outs.append(run_segment(xst[s0:s1], yst[s0:s1],
+        outs.append(run_segment(sidx[s0:s1], xst[s0:s1], yst[s0:s1],
                                 xs3[s0:s1], ys3[s0:s1]))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     out = out.reshape(n_steps * TG, c, tile)[:total_tiles]
-    samples = out.transpose(0, 2, 1).reshape(r, n_tiles_row * tile, c)
-    return samples[:, :t_total], cover
+    samples = out.transpose(0, 2, 1).reshape(n_src, r, n_tiles_row * tile, c)
+    return samples[:, :, :t_total], cover
 
 
 def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
@@ -235,4 +262,40 @@ def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                                       x_tile=x_tile, y_window=y_window,
                                       x_margin=x_margin, interpret=interpret)
         outs.append(samples.reshape(d, h, w, c))
+    return jnp.stack(outs)
+
+
+def homography_warp_pallas_multi(src_feats: jnp.ndarray, src_projs: jnp.ndarray,
+                                 ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
+                                 *, x_tile: int = 512, y_window: int = 8,
+                                 x_margin: int = 64,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Warp ALL source views in one kernel launch per batch item.
+
+    Args:
+        src_feats: (B, S, H, W, C); src_projs: (B, S, 4, 4);
+        ref_proj: (B, 4, 4); depth_hypos: (B, D, H, W) or (B, D, 1, 1).
+    Returns:
+        (B, S, D, H, W, C).
+    """
+    b, n_src, h, w, c = src_feats.shape
+    d = depth_hypos.shape[1]
+
+    outs = []
+    for bi in range(b):  # eval runs B=1
+        xs, ys = [], []
+        for s in range(n_src):
+            x_src, y_src = geometry.sweep_coordinates(
+                src_projs[bi:bi + 1, s].astype(jnp.float32),
+                ref_proj[bi:bi + 1].astype(jnp.float32),
+                depth_hypos[bi:bi + 1].astype(jnp.float32), h, w)
+            x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
+            xs.append(x_eff.reshape(d * h, w))
+            ys.append(y_eff.reshape(d * h, w))
+        x_all = jax.lax.stop_gradient(jnp.stack(xs))
+        y_all = jax.lax.stop_gradient(jnp.stack(ys))
+        samples, _ = pallas_sample_2d_multi(
+            src_feats[bi], x_all, y_all, x_tile=x_tile, y_window=y_window,
+            x_margin=x_margin, interpret=interpret)
+        outs.append(samples.reshape(n_src, d, h, w, c))
     return jnp.stack(outs)
