@@ -317,3 +317,37 @@ def fuse_scan_pcd(scan_dir: str, eval_dir: str, out_ply: str,
     if log_fn:
         log_fn(f"saved {len(xyz)} points -> {out_ply}")
     return xyz
+
+
+def voxel_downsample(xyz: np.ndarray, rgb: np.ndarray | None = None,
+                     normals: np.ndarray | None = None, voxel: float = 1.0):
+    """Voxel-grid downsampling: one averaged point per occupied voxel.
+
+    Replaces the reference's open3d voxel_down_sample option
+    (tools/pcd/fusion.py:256-263; o3d is not available in this environment).
+    """
+    if len(xyz) == 0:
+        return xyz, rgb, normals
+    keys = np.floor(xyz / voxel).astype(np.int64)
+    # dense voxel hash via lexsort + group boundaries
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    k = keys[order]
+    new_group = np.r_[True, (k[1:] != k[:-1]).any(1)]
+    group_id = np.cumsum(new_group) - 1
+    n_groups = group_id[-1] + 1
+
+    def average(values):
+        sums = np.zeros((n_groups, values.shape[1]), np.float64)
+        np.add.at(sums, group_id, values[order])
+        counts = np.bincount(group_id).astype(np.float64)
+        return (sums / counts[:, None])
+
+    out_xyz = average(xyz).astype(np.float32)
+    out_rgb = (average(rgb).round().astype(np.uint8)
+               if rgb is not None else None)
+    out_nrm = None
+    if normals is not None:
+        n = average(normals)
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        out_nrm = (n / np.maximum(norm, 1e-12)).astype(np.float32)
+    return out_xyz, out_rgb, out_nrm

@@ -136,3 +136,17 @@ def test_zbuffer_fusion_synthetic():
     got = inner[inner > 0]
     assert (inner > 0).mean() > 0.9
     np.testing.assert_allclose(got, 600.0, rtol=5e-3)
+
+
+def test_voxel_downsample(rng):
+    from mdfnet_tpu.fusion.pcd_fusion import voxel_downsample
+    # two clusters of points, far apart: one output point per cluster
+    a = np.full((50, 3), 10.25) + rng.randn(50, 3) * 0.01
+    b = np.full((30, 3), -5.4) + rng.randn(30, 3) * 0.01
+    xyz = np.concatenate([a, b]).astype(np.float32)
+    rgb = np.concatenate([np.full((50, 3), 200), np.full((30, 3), 40)]
+                         ).astype(np.uint8)
+    out_xyz, out_rgb, _ = voxel_downsample(xyz, rgb, voxel=1.0)
+    assert len(out_xyz) == 2
+    np.testing.assert_allclose(sorted(out_xyz[:, 0]), [-5.4, 10.25], atol=0.05)
+    assert set(out_rgb[:, 0]) == {200, 40}
