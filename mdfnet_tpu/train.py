@@ -72,6 +72,13 @@ def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
             t0 = time.perf_counter()
             state, loss = step_fn(state, batch)
             loss = float(loss)
+            if not (loss == loss and abs(loss) != float("inf")):
+                # fail fast on divergence — the last good checkpoint is the
+                # previous epoch's (the reference has no such guard; crashes
+                # there surface as silent NaN checkpoints)
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} batch {i}; "
+                    f"resume from the last checkpoint with -p")
             epoch_loss += loss
             n_batches += 1
             if i % train_config.log_every == 0:
