@@ -72,9 +72,13 @@ def main(argv=None):
                       log_fn=log.info)
         elif args.method == "vote":
             from mdfnet_tpu.fusion.consistency_vote import fuse_scan_vote
+            from mdfnet_tpu.fusion.presets import vote_preset
+            scene_name = os.path.basename(scan_dir.rstrip("/"))
+            preset = vote_preset(
+                "dtu" if args.dataset == "dtu" else args.set, scene_name)
+            log.info("vote preset for %s: %s", scene_name, preset)
             fuse_scan_vote(scan_dir, eval_dir, out_ply, cam_folder=cam_folder,
-                           prob_thresh=0.6, disp_thresh=0.25,
-                           num_consistent=3, log_fn=log.info)
+                           log_fn=log.info, **preset)
         else:
             from mdfnet_tpu.fusion.pcd_fusion import fuse_scan_pcd
             fuse_scan_pcd(scan_dir, eval_dir, out_ply, cam_folder=cam_folder,
