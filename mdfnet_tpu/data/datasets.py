@@ -27,6 +27,21 @@ from mdfnet_tpu.data.formats import (
 DTU_DEPTH_RANGE = np.array([425.0, 935.0], dtype=np.float32)
 
 
+def _item_rng(seed: int, epoch: int, idx: int) -> np.random.RandomState:
+    """Per-item deterministic RNG for robust view sampling.
+
+    A single shared RandomState mutated from multiple loader threads is
+    statistically racy and makes runs irreproducible; hashing (seed, epoch,
+    idx) into an independent stream per item is thread-safe and gives every
+    epoch a fresh (but reproducible) sampling, like the reference's global
+    seeding intends (reference config.py:12-21).
+    """
+    mixed = (seed * 0x9E3779B97F4A7C15
+             + epoch * 0xBF58476D1CE4E5B9
+             + idx * 0x94D049BB133111EB) % (2 ** 64)
+    return np.random.RandomState(mixed % (2 ** 32))
+
+
 def _depth_pyramid(depth: np.ndarray) -> Dict[str, np.ndarray]:
     """4-level GT pyramid by nearest subsampling.
 
@@ -51,7 +66,8 @@ class DTUTrainDataset:
         self.root = root
         self.nviews = nviews
         self.robust = robust_sampling
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         _, self.pairs = read_pair_file(os.path.join(root, "Cameras", "pair.txt"))
         self.items: List[Tuple[int, int, int, List[int]]] = [
             (scan, light, ref, srcs)
@@ -60,11 +76,16 @@ class DTUTrainDataset:
     def __len__(self):
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Select the epoch's per-item sampling streams (thread-safe)."""
+        self.epoch = epoch
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         scan, light, ref, srcs = self.items[idx]
         if self.robust:
-            chosen = list(self.rng.choice(len(srcs) - 1, self.nviews - 1,
-                                          replace=False) + 1)
+            rng = _item_rng(self.seed, self.epoch, idx)
+            chosen = list(rng.choice(len(srcs) - 1, self.nviews - 1,
+                                     replace=False) + 1)
             views = [ref] + [srcs[i] for i in chosen]
         else:
             views = [ref] + srcs[:self.nviews - 1]
@@ -141,7 +162,8 @@ class BlendedMVSTrainDataset:
         self.root = root
         self.nviews = nviews
         self.robust = robust_sampling
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         with open(os.path.join(root, "training_list.txt")) as f:
             scans = [ln.strip() for ln in f if ln.strip()]
         self.items: List[Tuple[str, int, List[int]]] = []
@@ -157,12 +179,17 @@ class BlendedMVSTrainDataset:
     def __len__(self):
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Select the epoch's per-item sampling streams (thread-safe)."""
+        self.epoch = epoch
+
     def __getitem__(self, idx: int) -> Dict:
         scan, ref, srcs = self.items[idx]
         if self.robust:
             top = srcs[:7]
-            chosen = list(self.rng.choice(len(top) - 1, self.nviews - 1,
-                                          replace=False) + 1)
+            rng = _item_rng(self.seed, self.epoch, idx)
+            chosen = list(rng.choice(len(top) - 1, self.nviews - 1,
+                                     replace=False) + 1)
             views = [ref] + [top[i] for i in chosen]
         else:
             views = [ref] + srcs[:self.nviews - 1]

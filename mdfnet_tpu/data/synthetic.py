@@ -83,6 +83,78 @@ def make_plane_scene(height: int = 128, width: int = 160, nviews: int = 3,
     )
 
 
+def write_dtu_train_tree(root: str, scans=(1, 2), nviews: int = 4,
+                         lightings: int = 2, height: int = 64,
+                         width: int = 96, plane_depth: float = 600.0,
+                         tilt: float = 0.05) -> None:
+    """Materialise a synthetic scene on disk in the DTU TRAIN layout
+    (reference load/getpath.py:4-45) so the real train CLI can run on it.
+
+    Every scan is the same plane scene (different tilt per scan) rendered to
+    Rectified/scan{X}_train PNGs, with Cameras/{v:08d}_cam.txt, Cameras/
+    pair.txt, and Depths/scan{X}_train GT PFMs.
+    """
+    import os
+    from PIL import Image
+    from mdfnet_tpu.data.formats import write_cam_file, write_pair_file, write_pfm
+
+    os.makedirs(os.path.join(root, "Cameras"), exist_ok=True)
+    pairs = [(r, [s for s in range(nviews) if s != r]) for r in range(nviews)]
+    write_pair_file(os.path.join(root, "Cameras", "pair.txt"), pairs)
+
+    for si, scan in enumerate(scans):
+        scene = make_plane_scene(height=height, width=width, nviews=nviews,
+                                 plane_depth=plane_depth + 20.0 * si,
+                                 tilt=tilt)
+        rect = os.path.join(root, "Rectified", f"scan{scan}_train")
+        dep = os.path.join(root, "Depths", f"scan{scan}_train")
+        os.makedirs(rect, exist_ok=True)
+        os.makedirs(dep, exist_ok=True)
+        for v in range(nviews):
+            if si == 0:
+                write_cam_file(
+                    os.path.join(root, "Cameras", f"{v:08d}_cam.txt"),
+                    scene.intrinsics[v], scene.extrinsics[v], (425.0, 2.5))
+            img8 = (scene.imgs[v] * 255).astype(np.uint8)
+            for light in range(lightings):
+                Image.fromarray(img8).save(os.path.join(
+                    rect, f"rect_{v + 1:03d}_{light}_r5000.png"))
+            write_pfm(os.path.join(dep, f"depth_map_{v:04d}.pfm"),
+                      scene.depths[v])
+
+
+def write_dtu_eval_tree(root: str, scans=(9,), nviews: int = 5,
+                        height: int = 64, width: int = 96,
+                        plane_depth: float = 600.0, tilt: float = 0.05
+                        ) -> "SyntheticScene":
+    """Materialise a synthetic scene in the DTU EVAL layout
+    (scan{X}/images/{v:08d}.jpg + scan{X}/cams + root pair.txt) for the eval
+    CLI. Returns the scene (GT for downstream metric checks). JPEG
+    compression noise is acceptable for plumbing tests.
+    """
+    import os
+    from PIL import Image
+    from mdfnet_tpu.data.formats import write_cam_file, write_pair_file
+
+    scene = make_plane_scene(height=height, width=width, nviews=nviews,
+                             plane_depth=plane_depth, tilt=tilt)
+    pairs = [(r, [s for s in range(nviews) if s != r]) for r in range(nviews)]
+    write_pair_file(os.path.join(root, "pair.txt"), pairs)
+    for scan in scans:
+        imgd = os.path.join(root, f"scan{scan}", "images")
+        camd = os.path.join(root, f"scan{scan}", "cams")
+        os.makedirs(imgd, exist_ok=True)
+        os.makedirs(camd, exist_ok=True)
+        for v in range(nviews):
+            img8 = (scene.imgs[v] * 255).astype(np.uint8)
+            Image.fromarray(img8).save(
+                os.path.join(imgd, f"{v:08d}.jpg"), quality=98)
+            write_cam_file(os.path.join(camd, f"{v:08d}_cam.txt"),
+                           scene.intrinsics[v], scene.extrinsics[v],
+                           (425.0, 2.5, 0.0, 935.0))
+    return scene
+
+
 def make_batch(scene: SyntheticScene, batch: int = 1) -> dict:
     """Package a scene as the model's input dict (channels-last, batched)."""
     def rep(x):

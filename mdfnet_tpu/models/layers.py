@@ -134,9 +134,14 @@ class BatchNorm(nn.Module):
       (torch's running_var convention);
     - stats always computed in f32 (bf16-safe), output cast back.
 
-    Per-replica statistics under data parallelism (no cross-device sync),
-    matching torch.nn.DataParallel's behaviour in the reference
-    (SURVEY.md §7 hard part 5).
+    Under data parallelism the train step is jitted with global-batch
+    semantics, so ``jnp.mean``/``jnp.var`` here reduce over the FULL batch —
+    BN statistics are effectively synchronised across the mesh (XLA inserts
+    the collectives). This deliberately deviates from the reference, whose
+    torch.nn.DataParallel computes per-replica stats as an artifact of
+    replicate-scatter execution (SURVEY.md §7 hard part 5); synced stats are
+    the mathematically cleaner choice and are what tests/test_train.py's
+    multi-device BN test pins down. See parallel/mesh.py for the mesh docs.
     """
     momentum: float = 0.1
     epsilon: float = 1e-5
@@ -190,6 +195,10 @@ class ConvBNReLU(nn.Module):
     Note: like the reference, the padding actually applied is
     (kernel_size - 1) // 2 regardless of the ``padding`` argument
     (base.py:18 hardcodes it).
+
+    ``hcw=True`` (eval only): input/output are (N, H, C, W) — C on sublanes,
+    W on lanes — and the layer runs as a fused Pallas conv with BN folded
+    (ops/pallas/conv2d_kernel.py). Same parameter paths as the XLA path.
     """
     features: int
     kernel_size: int = 3
@@ -197,12 +206,29 @@ class ConvBNReLU(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, hcw: bool = False):
+        if hcw:
+            assert not train, "hcw fast path is eval-only"
+            return self._hcw_path(x)
         x = ConvND(self.features, (self.kernel_size,) * 2, self.strides,
                    (self.kernel_size - 1) // 2, use_bias=False, dtype=self.dtype,
                    name="conv")(x)
         x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
+
+    def _hcw_path(self, x):
+        from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+        ci = x.shape[2]
+        ks = self.kernel_size
+        kernel = _ConvKernelParam((ks, ks, ci, self.features), ci * ks * ks,
+                                  name="conv")()
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        fscale = scale.astype(jnp.float32) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5)
+        foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
+        dtype = self.dtype or x.dtype
+        return conv2d_fused(x.astype(dtype), kernel.astype(dtype), fscale,
+                            foffset, stride=self.strides, relu=True)
 
 
 class ConvBNReLU3D(nn.Module):
@@ -291,6 +317,21 @@ class _ConvKernelParam(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param("kernel", _torch_conv_init(self.fan_in), self.shape)
+
+
+class _ConvKernelBiasParam(nn.Module):
+    """Conv kernel (+ optional bias) at paths <name>/kernel, <name>/bias —
+    ConvND-compatible, for fused paths that bypass ConvND."""
+    shape: tuple
+    fan_in: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _torch_conv_init(self.fan_in), self.shape)
+        bias = (self.param("bias", _torch_conv_init(self.fan_in),
+                           (self.shape[-1],)) if self.use_bias else None)
+        return kernel, bias
 
 
 class _BNParams(nn.Module):

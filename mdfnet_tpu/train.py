@@ -66,6 +66,9 @@ def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
 
     for epoch in range(start_epoch, train_config.max_epochs + 1):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        if hasattr(dataset, "set_epoch"):
+            # per-(epoch, item) deterministic robust-view sampling
+            dataset.set_epoch(epoch)
         epoch_loss, n_batches = 0.0, 0
         put = lambda b: shard_batch(mesh, _to_jax_batch(b))
         for i, batch in enumerate(device_prefetch(iter(loader), put)):
@@ -105,21 +108,43 @@ def main(argv=None):
     parser.add_argument("-d", "--dataset", default="dtu",
                         choices=["dtu", "blendedmvs"])
     parser.add_argument("--root", default=None, help="dataset root override")
+    parser.add_argument("--scans", default=None,
+                        help="comma-separated scan ids (default: full split)")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="max epochs (default: reference's 30)")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--nviews", type=int, default=None)
+    parser.add_argument("--ckpt-dir", default=None,
+                        help="checkpoint directory (default: pth)")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
     model_cfg = ModelConfig()
 
+    def train_config(default_batch: int) -> TrainConfig:
+        overrides = {}
+        if args.epochs is not None:
+            overrides["max_epochs"] = args.epochs
+        if args.nviews is not None:
+            overrides["nviews"] = args.nviews
+        if args.ckpt_dir is not None:
+            overrides["checkpoint_dir"] = args.ckpt_dir
+        overrides["batch_size"] = (args.batch_size if args.batch_size
+                                   is not None else default_batch)
+        return TrainConfig(**overrides)
+
     if args.dataset == "dtu":
         from mdfnet_tpu.data.datasets import DTUTrainDataset
-        train_cfg = TrainConfig(batch_size=4)
+        train_cfg = train_config(default_batch=4)
+        scans = (tuple(int(s) for s in args.scans.split(","))
+                 if args.scans else data_cfg.dtu_train_scans)
         dataset = DTUTrainDataset(
             os.path.join(data_cfg.root_dir, data_cfg.dtu_train_subdir),
-            scans=data_cfg.dtu_train_scans, lightings=data_cfg.dtu_lightings,
+            scans=scans, lightings=data_cfg.dtu_lightings,
             nviews=train_cfg.nviews, robust_sampling=train_cfg.robust_views)
     else:
         from mdfnet_tpu.data.datasets import BlendedMVSTrainDataset
-        train_cfg = TrainConfig(batch_size=6)
+        train_cfg = train_config(default_batch=6)
         dataset = BlendedMVSTrainDataset(
             os.path.join(data_cfg.root_dir, data_cfg.blendedmvs_subdir),
             nviews=train_cfg.nviews, robust_sampling=train_cfg.robust_views)

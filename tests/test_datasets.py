@@ -96,14 +96,29 @@ def test_dtu_train_dataset(dtu_train_tree):
     assert item["ref_depths"]["3"].shape == (6, 8)
     np.testing.assert_allclose(item["depth_range"], [425.0, 935.0])
 
-    # robust sampling draws (nviews-1) distinct srcs, never the ref
+    # robust sampling draws (nviews-1) distinct srcs, never the ref; the
+    # stream is per-(epoch, item) deterministic (thread-safe, reproducible)
     ds_r = DTUTrainDataset(dtu_train_tree, scans=[2], lightings=[0],
                            nviews=3, robust_sampling=True, seed=3)
     seen = set()
-    for _ in range(5):
+    for epoch in range(5):
+        ds_r.set_epoch(epoch)
         it = ds_r[0]
-        seen.add(tuple(np.asarray(it["extrinsics"])[1:, 0, 3]))
-    assert len(seen) > 1, "robust sampling never varied the views"
+        views = tuple(np.asarray(it["extrinsics"])[1:, 0, 3])
+        assert 0.0 not in views, "robust sampling must never pick the ref"
+        it2 = ds_r[0]  # same epoch+idx -> identical item
+        np.testing.assert_array_equal(it["extrinsics"], it2["extrinsics"])
+        seen.add(views)
+    assert len(seen) > 1, "robust sampling never varied across epochs"
+
+    # a fresh dataset with the same seed reproduces the exact stream
+    ds_r2 = DTUTrainDataset(dtu_train_tree, scans=[2], lightings=[0],
+                            nviews=3, robust_sampling=True, seed=3)
+    ds_r.set_epoch(2)
+    ds_r2.set_epoch(2)
+    for idx in range(len(ds_r)):
+        np.testing.assert_array_equal(ds_r[idx]["extrinsics"],
+                                      ds_r2[idx]["extrinsics"])
 
 
 @pytest.fixture

@@ -103,6 +103,45 @@ def test_data_parallel_matches_single_device(small_setup):
     assert np.isfinite(float(loss))
 
 
+def test_batchnorm_stats_are_globally_synced(small_setup):
+    """Pins the documented BN-under-DP semantics (models/layers.py): the
+    jit-sharded train-mode forward reduces BN statistics over the FULL global
+    batch, not per-replica shards — a deliberate deviation from the
+    reference's DataParallel per-replica stats."""
+    batch, _, model, state = small_setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+    # 8 DISTINCT items (scaled copies) so per-replica stats would differ from
+    # global stats if BN were per-replica
+    def make8(x):
+        if x.ndim == 0:
+            return x
+        reps = [x[:1] * (1.0 + 0.3 * i) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x[:1] for i in range(8)]
+        return jnp.concatenate(reps, axis=0)
+
+    batch8 = jax.tree_util.tree_map(make8, batch)
+    _, st = create_train_state(jax.random.PRNGKey(2), SMALL, batch8)
+
+    def fwd(variables, b):
+        _, mutated = model.apply(
+            variables, b["imgs"], b["extrinsics"], b["intrinsics"],
+            b["depth_range"], train=True, mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+    stats_single = jax.jit(fwd)(variables, batch8)
+
+    mesh = make_mesh(data=8)
+    sharded = shard_batch(mesh, batch8)
+    stats_dp = jax.jit(fwd)(variables, sharded)
+
+    for a, b in zip(jax.tree_util.tree_leaves(stats_single),
+                    jax.tree_util.tree_leaves(stats_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_checkpoint_roundtrip(small_setup, tmp_path):
     batch, cfg, model, state = small_setup
     step = make_train_step(model, cfg)
