@@ -58,7 +58,8 @@ class CoreNet(nn.Module):
             eval:  {"depth": (B, H, W), "confidence": (B, H, W)}
         """
         nstages = len(self.ndepths)
-        backbone = FPN4Scales(self.chs, dtype=self.dtype, name="backbone")
+        backbone = FPN4Scales(self.chs, dtype=self.dtype,
+                              pallas_eval=self.pallas_conv, name="backbone")
         aggregates = [VectorAggregate(self.ngroups[s], dtype=self.dtype,
                                       warp_impl=self.warp_impl,
                                       name=f"aggregate{s}") for s in range(nstages)]
@@ -83,6 +84,11 @@ class CoreNet(nn.Module):
             # MXU); running-stat BN makes this exactly equivalent
             stacked = imgs.reshape((b * nviews,) + imgs.shape[2:])
             fs = backbone(stacked, train)  # (y4, y3, y2) each (B*V, ...)
+            if self.pallas_conv:
+                # Pallas backbone returns (N, H, C, W); the aggregation path
+                # still consumes NHWC — transpose once on the stacked
+                # tensors (removed when the fused aggregate lands)
+                fs = tuple(jnp.transpose(f, (0, 1, 3, 2)) for f in fs)
             features = [
                 tuple(f.reshape((b, nviews) + f.shape[1:])[:, v] for f in fs)
                 for v in range(nviews)
