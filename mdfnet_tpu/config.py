@@ -26,7 +26,9 @@ class ModelConfig:
     # geometry/softmax/fitting always run f32.
     compute_dtype: str = "float32"
     # plane-sweep warp implementation: "dense" (gather-free matmul path,
-    # exact for MVS-style cameras) | "pallas" (fused kernel) | "gather"
+    # exact for MVS-style cameras) | "pallas" (fused warp kernel) |
+    # "fused" (one kernel for warp + aggregation epilogue, fastest) |
+    # "gather"
     warp_impl: str = "dense"
     # eval-only fused Pallas conv3d for the U-Nets' stride-1 layers
     pallas_conv: bool = False

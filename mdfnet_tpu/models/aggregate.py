@@ -49,13 +49,20 @@ class _ScalarFieldBN(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fold_params: bool = False):
         scale = self.param("scale", nn.initializers.ones, (1,))
         bias = self.param("bias", nn.initializers.zeros, (1,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((1,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((1,), jnp.float32))
+        if fold_params:
+            # eval-only: return the equivalent affine (scale, offset) for
+            # fused kernels instead of applying the normalisation
+            import jax
+            assert not train
+            s_eff = scale[0] * jax.lax.rsqrt(ra_var.value[0] + self.epsilon)
+            return s_eff, bias[0] - ra_mean.value[0] * s_eff
         xf = x.astype(jnp.float32)
         if train:
             mean = jnp.mean(xf)
@@ -87,13 +94,26 @@ class DepthWeight(nn.Module):
     unchanged. Returns (B, D, H, W) (no channel axis).
     """
     dtype: jnp.dtype | None = None
+    # static group count, needed only when folding params (volume=None)
+    ngroups: int | None = None
 
     @nn.compact
-    def __call__(self, volume, train: bool = False):
-        g = volume.shape[-1]
-        dtype = self.dtype or volume.dtype
+    def __call__(self, volume, train: bool = False,
+                 fold_params: bool = False):
+        g = self.ngroups if volume is None else volume.shape[-1]
+        dtype = self.dtype or (jnp.float32 if volume is None
+                               else volume.dtype)
         k0, _ = _ConvKernel((1, 1, 1, g, 1), g, False, name="conv0")()
         k1, b1 = _ConvKernel((1, 1, 1, 1, 1), 1, True, name="conv1")()
+
+        if fold_params:
+            # eval-only folded parameters for the fused rowsweep kernel:
+            # (k0 channel weights, BN affine, conv1 scalar weight/bias)
+            bn_s, bn_o = _ScalarFieldBN(name="bn0")(None, train,
+                                                    fold_params=True)
+            return (k0[0, 0, 0, :, 0].astype(jnp.float32), bn_s, bn_o,
+                    k1[0, 0, 0, 0, 0].astype(jnp.float32),
+                    b1[0].astype(jnp.float32))
 
         s = jnp.einsum("bdhwg,g->bdhw", volume.astype(dtype),
                        k0[0, 0, 0, :, 0].astype(dtype),
@@ -107,10 +127,13 @@ class DepthWeight(nn.Module):
 class VectorAggregate(nn.Module):
     ngroups: int = 8
     dtype: jnp.dtype | None = None
-    # "pallas": fused window-DMA tent-kernel warp kernel (fastest TPU path);
+    # "fused":  ONE Pallas kernel for warp + sigmoid-pair similarity +
+    #           DepthWeight + weighted accumulation (eval, C/G == 2 only;
+    #           consumes/produces (.., H, C, W) layouts, fastest TPU path);
+    # "pallas": fused window-DMA tent-kernel warp kernel;
     # "dense":  gather-free tent-kernel matmul warp in plain XLA;
     # "gather": guaranteed-exact windowed-gather warp.
-    # pallas/dense are exact for MVS-style cameras (see ops/warp_dense.py).
+    # pallas/dense/fused are exact for MVS-style cameras (ops/warp_dense.py).
     warp_impl: str = "dense"
 
     @nn.compact
@@ -119,26 +142,46 @@ class VectorAggregate(nn.Module):
         """
         Args:
             features: list of (B, H, W, C) per-view features, ref first.
+                For warp_impl="fused": list of (B, H, C, W) hcw features.
             ref_proj: (B, 4, 4); src_projs: (B, V-1, 4, 4).
             depth_hypos: (B, D, H, W) or (B, D, 1, 1).
             pair_diffs: optional list of (B, H, W, G) channel-pair difference
                 features per view (ref first) precomputed by the caller on the
                 stacked backbone output — one sliced subtraction for all views
-                instead of V separate ones.
+                instead of V separate ones. For warp_impl="fused": REQUIRED,
+                in (B, H, G, W) layout.
         Returns:
-            (B, D, H, W, G) aggregated cost volume.
+            (B, D, H, W, G) aggregated cost volume; for warp_impl="fused":
+            (B, D, H, G, W) — the layout the Pallas U-Net consumes directly.
         """
         ref_feat, src_feats = features[0], features[1:]
-        b, h, w, c = ref_feat.shape
         g = self.ngroups
-        cg = c // g
 
-        weight_net = DepthWeight(dtype=self.dtype, name="depth_weight")
+        weight_net = DepthWeight(dtype=self.dtype, name="depth_weight",
+                                 ngroups=g)
         impl = self.warp_impl
-        if train and impl == "pallas":
-            # the Pallas kernel has no autodiff rule; the dense path computes
-            # the identical warp with full differentiability
+        if train and impl in ("pallas", "fused"):
+            # these Pallas kernels have no autodiff rule; the dense path
+            # computes the identical warp with full differentiability
             impl = "dense"
+
+        if impl == "fused":
+            from mdfnet_tpu.ops.pallas.aggregate_kernel import (
+                rowsweep_aggregate)
+            assert pair_diffs is not None, "fused path needs hcw pair_diffs"
+            b, h, _, w = pair_diffs[0].shape
+            k0, bn_s, bn_o, k1, b1 = weight_net(None, train=False,
+                                                fold_params=True)
+            q = nn.sigmoid(pair_diffs[0])
+            diffs = jnp.stack(pair_diffs[1:], axis=1)  # (B, S, H, G, W)
+            outs = [rowsweep_aggregate(diffs[bi], q[bi], src_projs[bi],
+                                       ref_proj[bi], depth_hypos[bi],
+                                       k0, bn_s, bn_o, k1, b1)
+                    for bi in range(b)]
+            return jnp.stack(outs)[..., :w]  # (B, D, H, G, W)
+
+        b, h, w, c = ref_feat.shape
+        cg = c // g
         warp = {"dense": homography_warp_dense,
                 "pallas": homography_warp_pallas,
                 "gather": homography_warp}[impl]

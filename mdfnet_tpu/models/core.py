@@ -84,20 +84,26 @@ class CoreNet(nn.Module):
             # MXU); running-stat BN makes this exactly equivalent
             stacked = imgs.reshape((b * nviews,) + imgs.shape[2:])
             fs = backbone(stacked, train)  # (y4, y3, y2) each (B*V, ...)
-            if self.pallas_conv:
-                # Pallas backbone returns (N, H, C, W); the aggregation path
-                # still consumes NHWC — transpose once on the stacked
-                # tensors (removed when the fused aggregate lands)
+            fused = self.warp_impl == "fused"
+            if self.pallas_conv and not fused:
+                # Pallas backbone returns (N, H, C, W); the non-fused
+                # aggregation paths consume NHWC — transpose once on the
+                # stacked tensors
                 fs = tuple(jnp.transpose(f, (0, 1, 3, 2)) for f in fs)
             features = [
                 tuple(f.reshape((b, nviews) + f.shape[1:])[:, v] for f in fs)
                 for v in range(nviews)
             ]
             # channel-pair differences for the aggregation (one sliced
-            # subtraction on the stacked tensor per stage, V-for-free)
+            # subtraction on the stacked tensor per stage, V-for-free);
+            # with the fused kernel these stay in (B, H, G, W) layout
+            ch_axis = 2 if (self.pallas_conv and fused) else 3
             stage_diffs = []
             for f in fs:
-                dstack = f[..., 0::2] - f[..., 1::2]
+                if ch_axis == 2:
+                    dstack = f[:, :, 0::2, :] - f[:, :, 1::2, :]
+                else:
+                    dstack = f[..., 0::2] - f[..., 1::2]
                 dstack = dstack.reshape((b, nviews) + dstack.shape[1:])
                 stage_diffs.append([dstack[:, v] for v in range(nviews)])
 
@@ -122,12 +128,24 @@ class CoreNet(nn.Module):
                     upsample=True)
 
             diffs = None
-            if not train and self.ngroups[stage] * 2 == stage_feats[0].shape[-1]:
+            fused = (not train) and self.warp_impl == "fused"
+            ch_ax = 2 if (fused and self.pallas_conv) else 3
+            if not train and self.ngroups[stage] * 2 == stage_feats[0].shape[ch_ax]:
                 diffs = stage_diffs[stage]
+                if fused and not self.pallas_conv:
+                    # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
+                    diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
             cost_volume = aggregates[stage](stage_feats, ref_proj, src_projs,
                                             depth_hypos, train,
                                             pair_diffs=diffs)
-            prob_volume = regulars[stage](cost_volume, train)  # (B, D, h, w) f32
+            # fused aggregation emits (B, D, h, g, w) — with the Pallas
+            # U-Nets it runs layout-through with zero transposes; without,
+            # convert back to channels-last
+            if fused and not self.pallas_conv:
+                cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
+            prob_volume = regulars[stage](
+                cost_volume, train,
+                dhcw=fused and self.pallas_conv)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
 

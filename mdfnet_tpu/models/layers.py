@@ -250,13 +250,14 @@ class ConvBNReLU3D(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False):
         if self.pallas_eval and not self.wfold:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
                  else tuple(self.strides))
             if (not train) and self.kernel_size == 3 and s in ((1, 1, 1),
                                                                (2, 2, 2)):
-                return self._pallas_path(x, s[0])
+                return self._pallas_path(x, s[0], dhcw)
+        assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         if not self.wfold:
             x = ConvND(self.features, (self.kernel_size,) * 3, self.strides,
@@ -270,11 +271,15 @@ class ConvBNReLU3D(nn.Module):
             self.padding == 1 or tuple(self.padding) == (1, 1, 1))
         return self._wfold_path(x, train)
 
-    def _pallas_path(self, x, stride: int = 1):
+    def _pallas_path(self, x, stride: int = 1, dhcw: bool = False):
         """Eval: fused Pallas conv with folded BN. Declares the exact same
-        parameter/stat structure as the ConvND+BatchNorm path."""
+        parameter/stat structure as the ConvND+BatchNorm path.
+
+        ``dhcw``: input/output are (B, D, H, C, W) — no per-layer transposes
+        (the whole U-Net runs in the kernel's native layout)."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
-        b, d, h, w, ci = x.shape
+        ci = x.shape[3] if dhcw else x.shape[-1]
+        b = x.shape[0]
         co = self.features
         kernel = _ConvKernelParam((3, 3, 3, ci, co), ci * 27, name="conv")()
         scale, bias, mean, var = _BNParams(co, name="bn")()
@@ -286,9 +291,10 @@ class ConvBNReLU3D(nn.Module):
         dtype = self.dtype or x.dtype
         outs = []
         for bi in range(b):  # eval runs B=1
-            xi = jnp.transpose(x[bi], (0, 1, 3, 2)).astype(dtype)  # (D,H,C,W)
+            xi = (x[bi] if dhcw
+                  else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
             y = conv3d_bn_relu(xi, kernel, fscale, foffset, stride=stride)
-            outs.append(jnp.transpose(y, (0, 1, 3, 2)))
+            outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 
     def _wfold_path(self, x, train):
@@ -366,7 +372,7 @@ class TrConvBNReLU3D(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False):
         from mdfnet_tpu.ops import wfold as wf
         if self.pallas_eval and not self.wfold and not train:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
@@ -376,7 +382,8 @@ class TrConvBNReLU3D(nn.Module):
                   else tuple(self.output_padding))
             if (self.kernel_size == 3 and s == (2, 2, 2) and op == (1, 1, 1)
                     and self.padding == 1):
-                return self._pallas_path(x)
+                return self._pallas_path(x, dhcw)
+        assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,
                             self.padding, self.output_padding, use_bias=False,
@@ -388,10 +395,11 @@ class TrConvBNReLU3D(nn.Module):
             x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
 
-    def _pallas_path(self, x):
+    def _pallas_path(self, x, dhcw: bool = False):
         """Eval: phase-decomposed fused transposed conv (same param paths)."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import trconv3d_bn_relu
-        b, d, h, w, ci = x.shape
+        ci = x.shape[3] if dhcw else x.shape[-1]
+        b = x.shape[0]
         co = self.features
         kernel = _ConvKernelParam((3, 3, 3, co, ci), co * 27, name="conv")()
         scale, bias, mean, var = _BNParams(co, name="bn")()
@@ -402,9 +410,10 @@ class TrConvBNReLU3D(nn.Module):
         dtype = self.dtype or x.dtype
         outs = []
         for bi in range(b):
-            xi = jnp.transpose(x[bi], (0, 1, 3, 2)).astype(dtype)
+            xi = (x[bi] if dhcw
+                  else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
             y = trconv3d_bn_relu(xi, kernel, fscale, foffset)
-            outs.append(jnp.transpose(y, (0, 1, 3, 2)))
+            outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 
 

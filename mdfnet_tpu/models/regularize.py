@@ -42,13 +42,28 @@ class ProbConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        b, d, h, w, c = x.shape
+    def __call__(self, x, dhcw: bool = False):
+        if dhcw:
+            b, d, h, c, w = x.shape
+        else:
+            b, d, h, w, c = x.shape
         kernel = self.param("kernel", _torch_conv_init(c * 27), (3, 3, 3, c, 1))
         dtype = self.dtype or x.dtype
-        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         k = kernel.astype(dtype)
         out = jnp.zeros((b, d, h, w), jnp.float32)
+        if dhcw:
+            xp = jnp.pad(x.astype(dtype),
+                         ((0, 0), (1, 1), (1, 1), (0, 0), (1, 1)))
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        tap = jax.lax.dynamic_slice(
+                            xp, (0, dz, dy, 0, dx), (b, d, h, c, w))
+                        out = out + jnp.einsum(
+                            "bdhcw,c->bdhw", tap, k[dz, dy, dx, :, 0],
+                            preferred_element_type=jnp.float32)
+            return out
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         for dz in range(3):
             for dy in range(3):
                 for dx in range(3):
@@ -131,8 +146,10 @@ class RegularNet3Scales(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False):
         c0, c1, c2 = self.inner_chs, self.inner_chs * 2, self.inner_chs * 4
+        if dhcw:
+            return self._dhcw_path(x, c0, c1, c2)
         _, d, h, w, _ = x.shape
         assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
         dt = self.dtype
@@ -164,6 +181,38 @@ class RegularNet3Scales(nn.Module):
         out = ProbConv(dtype=dt, name="prob")(s.value())
         return nn.softmax(out, axis=1)
 
+    def _dhcw_path(self, x, c0, c1, c2):
+        """Eval: the whole net in the Pallas (B, D, H, C, W) layout — zero
+        per-layer transposes (input comes straight from the fused
+        aggregation kernel)."""
+        assert self.pallas_eval, "dhcw layout requires pallas_eval"
+        _, d, h, _, w = x.shape
+        assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
+        dt = self.dtype
+
+        def conv(name, feats, stride, inp):
+            return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
+                                pallas_eval=True, name=name)(inp, False,
+                                                             dhcw=True)
+
+        def trconv(name, feats, inp):
+            return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
+                                  pallas_eval=True, name=name)(inp, False,
+                                                               dhcw=True)
+
+        v = conv("conv01_0", c0, 1, x)
+        skip0 = conv("conv01_1", c0, 1, v)
+        v = conv("conv12_0", c1, 2, skip0)
+        v = conv("conv12_1", c1, 1, v)
+        skip1 = conv("conv12_2", c1, 1, v)
+        v = conv("conv232_0", c2, 2, skip1)
+        v = conv("conv232_1", c2, 1, v)
+        v = conv("conv232_2", c2, 1, v)
+        v = trconv("conv232_3", c1, v) + skip1
+        v = trconv("conv10", c0, v) + skip0
+        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True)
+        return nn.softmax(out, axis=1)
+
 
 class RegularNet4Scales(nn.Module):
     """Stage-1/2 regulariser. Twin of reference net/unit/regular.py:72-133.
@@ -177,9 +226,11 @@ class RegularNet4Scales(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False):
         c0, c1, c2, c3 = (self.base_chs, self.base_chs * 2,
                           self.base_chs * 4, self.base_chs * 8)
+        if dhcw:
+            return self._dhcw_path(x, c0, c1, c2, c3)
         _, d, h, w, _ = x.shape
         assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
         assert tuple(self.sample_stride) == (2, 2, 2), \
@@ -216,4 +267,35 @@ class RegularNet4Scales(nn.Module):
         s.x = s.x + x1_x
 
         out = ProbConv(dtype=dt, name="prob")(s.value())
+        return nn.softmax(out, axis=1)
+
+    def _dhcw_path(self, x, c0, c1, c2, c3):
+        """Eval: the whole net in the Pallas (B, D, H, C, W) layout."""
+        assert self.pallas_eval, "dhcw layout requires pallas_eval"
+        _, d, h, _, w = x.shape
+        assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
+        assert tuple(self.sample_stride) == (2, 2, 2)
+        dt = self.dtype
+
+        def conv(name, feats, stride, inp):
+            return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
+                                pallas_eval=True, name=name)(inp, False,
+                                                             dhcw=True)
+
+        def trconv(name, feats, inp):
+            return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
+                                  pallas_eval=True, name=name)(inp, False,
+                                                               dhcw=True)
+
+        x1 = conv("conv01", c0, 1, x)
+        v = conv("conv12_0", c1, 2, x1)
+        x2 = conv("conv12_1", c1, 1, v)
+        v = conv("conv23_0", c2, 2, x2)
+        x3 = conv("conv23_1", c2, 1, v)
+        v = conv("conv343_0", c3, 2, x3)
+        v = conv("conv343_1", c3, 1, v)
+        v = trconv("conv343_2", c2, v) + x3
+        v = trconv("trconv32", c1, v) + x2
+        v = trconv("trconv21", c0, v) + x1
+        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True)
         return nn.softmax(out, axis=1)
