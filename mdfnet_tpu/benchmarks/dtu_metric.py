@@ -27,44 +27,124 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _csr_expand(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(group_id, within_group) indices enumerating sum(counts) slots."""
+    total = int(counts.sum())
+    gid = np.repeat(np.arange(len(counts)), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total) - np.repeat(cum, counts)
+    return gid, within
+
+
+def _neighbor_pairs(pts: np.ndarray, dst: float) -> Tuple[np.ndarray, np.ndarray]:
+    """All directed pairs (i, j), i != j, with |pts[i]-pts[j]| < dst, via
+    vectorised grid hashing (numpy only, no python-level point loops).
+
+    Cells are matched at the unique-cell level (one binary search per
+    OCCUPIED cell per half-space offset, directed pairs emitted both ways),
+    then point pairs come from vectorised cross-products of the matched
+    cells' point ranges."""
+    n = len(pts)
+    cell = np.floor(pts / dst).astype(np.int64)
+    cell -= cell.min(axis=0)
+    dims = cell.max(axis=0) + 2  # +2: room for +1 offsets without wrap
+    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    ukey, ustart = np.unique(skey, return_index=True)
+    ucount = np.diff(np.append(ustart, n))
+    nu = len(ukey)
+
+    # 13 half-space offsets (the other 13 come from emitting both
+    # directions); offset 0 handled separately (within-cell pairs)
+    half = [(ox, oy, oz)
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1) for oz in (-1, 0, 1)
+            if (ox, oy, oz) > (0, 0, 0)]
+
+    dst2 = dst * dst
+    srcs, dsts = [], []
+
+    def emit(i_idx, j_idx, both_ways: bool):
+        d = pts[i_idx] - pts[j_idx]
+        ok = np.einsum("ij,ij->i", d, d) < dst2
+        srcs.append(i_idx[ok])
+        dsts.append(j_idx[ok])
+        if both_ways:
+            srcs.append(j_idx[ok])
+            dsts.append(i_idx[ok])
+
+    # within-cell: full directed cross product of each cell's points
+    if nu and ucount.max() > 1:
+        multi = np.flatnonzero(ucount > 1)
+        cnts = ucount[multi]
+        gid, t = _csr_expand(cnts * cnts)
+        c_g = cnts[gid]
+        a, b = t // c_g, t % c_g
+        keep = a != b
+        start = ustart[multi][gid[keep]]
+        emit(order[start + a[keep]], order[start + b[keep]],
+             both_ways=False)
+
+    for off3 in half:
+        off = (off3[0] * dims[1] + off3[1]) * dims[2] + off3[2]
+        pos = np.searchsorted(ukey, ukey + off)
+        pos = np.minimum(pos, nu - 1)
+        hit = np.flatnonzero(ukey[pos] == ukey + off)
+        if len(hit) == 0:
+            continue
+        a_cells = hit
+        b_cells = pos[hit]
+        na = ucount[a_cells]
+        nb = ucount[b_cells]
+        gid, t = _csr_expand(na * nb)
+        nb_g = nb[gid]
+        i_idx = order[ustart[a_cells][gid] + t // nb_g]
+        j_idx = order[ustart[b_cells][gid] + t % nb_g]
+        emit(i_idx, j_idx, both_ways=True)
+
+    if not srcs:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
 def reduce_points(pts: np.ndarray, dst: float = 0.2,
                   seed: Optional[int] = 0) -> np.ndarray:
     """Stochastic thinning: keep a subset with pairwise spacing >= dst.
 
-    Grid-hash equivalent of reducePts_haa.m: visit points in random order;
-    each kept point suppresses every unvisited point within dst.
+    Exact vectorised equivalent of reducePts_haa.m:1-35: points are visited
+    in random order; each still-unsuppressed point is kept and suppresses
+    every point within dst. That sequential greedy equals the
+    rank-lexicographic maximal independent set of the dst-neighbourhood
+    graph, computed here in parallel rounds (each round keeps every alive
+    point whose rank is a local minimum among alive neighbours, then kills
+    the winners' neighbours) — bit-identical keep set, O(log n) rounds,
+    numpy throughout. ~10M points in seconds instead of hours.
     """
     n = len(pts)
     if n == 0:
         return pts
     rng = np.random.RandomState(seed)
-    order = rng.permutation(n)
+    rank = np.empty(n, np.int64)
+    rank[rng.permutation(n)] = np.arange(n)
 
-    cell = np.floor(pts / dst).astype(np.int64)
-    # hash cells -> point lists
-    from collections import defaultdict
-    buckets: Dict[Tuple[int, int, int], list] = defaultdict(list)
-    for i, c in enumerate(map(tuple, cell)):
-        buckets[c].append(i)
+    src, dst_idx = _neighbor_pairs(np.asarray(pts, np.float64), dst)
 
     alive = np.ones(n, bool)
     keep = np.zeros(n, bool)
-    dst2 = dst * dst
-    neighbor_offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                        for dz in (-1, 0, 1)]
-    for i in order:
-        if not alive[i]:
-            continue
-        keep[i] = True
-        cx, cy, cz = cell[i]
-        p = pts[i]
-        for ox, oy, oz in neighbor_offsets:
-            for j in buckets.get((cx + ox, cy + oy, cz + oz), ()):
-                if alive[j] and j != i:
-                    d = pts[j] - p
-                    if d @ d < dst2:
-                        alive[j] = False
-        alive[i] = False
+    while alive.any():
+        m = alive[src] & alive[dst_idx]
+        nbr_min = np.full(n, n, np.int64)
+        np.minimum.at(nbr_min, src[m], rank[dst_idx[m]])
+        winners = alive & (rank < nbr_min)
+        keep |= winners
+        killed = np.zeros(n, bool)
+        wm = winners[src]
+        killed[dst_idx[wm]] = True
+        alive &= ~(killed | winners)
+        # drop settled pairs to shrink later rounds
+        still = alive[src] | alive[dst_idx]
+        src, dst_idx = src[still], dst_idx[still]
     return pts[keep]
 
 

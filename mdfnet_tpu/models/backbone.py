@@ -97,10 +97,21 @@ class FPN4Scales(nn.Module):
         v = cbr("conv34_1", c3, 3, 1, v)
         x4 = cbr("conv34_2", c3, 3, 1, v)
 
+        def _up2_axis(v, axis):
+            # 2x bilinear along one axis (0.25/0.75 half-pixel stencil,
+            # edge-replicated) without transposing to put it last
+            n = v.shape[axis]
+            sl = lambda a, b: jax.lax.slice_in_dim(v, a, b, axis=axis)
+            left = jnp.concatenate([sl(0, 1), sl(0, n - 1)], axis=axis)
+            right = jnp.concatenate([sl(1, n), sl(n - 1, n)], axis=axis)
+            even = 0.75 * v + 0.25 * left
+            odd = 0.75 * v + 0.25 * right
+            out = jnp.stack([even, odd], axis=axis + 1)
+            return out.reshape(v.shape[:axis] + (2 * n,)
+                               + v.shape[axis + 1:])
+
         def up2(v):  # (N, H, C, W): upsample axes 1 and 3
-            v = v.transpose(0, 2, 1, 3)           # (N, C, H, W)
-            v = resize_bilinear_2x(v)
-            return v.transpose(0, 2, 1, 3)
+            return _up2_axis(_up2_axis(v, 1), 3)
 
         y4 = self._conv1x1_hcw(x4, c3, "out4", use_bias=False)
         x3 = up2(x4) + self._conv1x1_hcw(x3, c3, "lat3", use_bias=True)

@@ -70,7 +70,8 @@ class CoreNet(nn.Module):
                                        pallas_eval=self.pallas_conv,
                                        name=f"regular{s}")
                      for s in range(1, nstages)]
-        refine = RefineNet2(dtype=self.dtype, name="refine")
+        refine = RefineNet2(dtype=self.dtype, pallas_eval=self.pallas_conv,
+                            name="refine")
 
         b, nviews = imgs.shape[0], imgs.shape[1]
         if train:

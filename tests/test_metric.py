@@ -16,6 +16,49 @@ def test_reduce_points_spacing(rng):
     assert d[:, 1].min() >= 0.5, "thinning violated min spacing"
 
 
+def _reduce_points_sequential(pts, dst, seed):
+    """The literal reducePts_haa.m greedy (random visit order, each kept
+    point suppresses all dst-neighbours) — the oracle for the vectorised
+    parallel-rounds implementation."""
+    n = len(pts)
+    order = np.random.RandomState(seed).permutation(n)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(pts)
+    alive = np.ones(n, bool)
+    keep = np.zeros(n, bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep[i] = True
+        for j in tree.query_ball_point(pts[i], dst):
+            if np.sum((pts[j] - pts[i]) ** 2) < dst * dst:
+                alive[j] = False
+    return keep
+
+
+def test_reduce_points_matches_sequential_greedy(rng):
+    """The vectorised thinning must reproduce the sequential MATLAB greedy
+    bit-for-bit (same permutation => same kept set)."""
+    for seed in (0, 1, 7):
+        pts = rng.rand(5000, 3) * 8
+        expected = _reduce_points_sequential(pts, 0.5, seed)
+        out = reduce_points(pts, dst=0.5, seed=seed)
+        np.testing.assert_array_equal(out, pts[expected])
+
+
+def test_reduce_points_scales(rng):
+    """1M clustered points must thin in seconds (the pure-python version
+    took minutes here and hours at DTU's 25M)."""
+    import time
+    base = rng.rand(50_000, 3) * 100
+    pts = (base[None] + rng.randn(20, 1, 3) * 0.3).reshape(-1, 3)
+    t0 = time.time()
+    out = reduce_points(pts, dst=0.2, seed=0)
+    elapsed = time.time() - t0
+    assert elapsed < 30.0, f"thinning too slow: {elapsed:.1f}s for 1M points"
+    assert 0 < len(out) < len(pts)
+
+
 def test_nn_distances_matches_bruteforce(rng):
     q = rng.rand(200, 3) * 10
     t = rng.rand(300, 3) * 10
