@@ -31,7 +31,7 @@ def main():
     # bf16 conv compute on TPU; fitting/softmax stay f32 internally
     platform = jax.devices()[0].platform
     dtype = "bfloat16" if platform != "cpu" else "float32"
-    warp = "pallas" if platform != "cpu" else "dense"
+    warp = "fused" if platform != "cpu" else "dense"
     model = build_model(ModelConfig(compute_dtype=dtype, warp_impl=warp,
                                     pallas_conv=(platform != "cpu")))
 

@@ -32,6 +32,13 @@ class ModelConfig:
     warp_impl: str = "dense"
     # eval-only fused Pallas conv3d for the U-Nets' stride-1 layers
     pallas_conv: bool = False
+    # training-only gradient rematerialisation of the per-stage blocks
+    # (backbone / warp+aggregate / 3D U-Net): trades recompute FLOPs for
+    # HBM so the reference's batch-4 640x512 config fits a 16 GB chip
+    remat: bool = False
+    # width-fold the U-Net volumes (exact transform, ops/wfold.py) — fills
+    # the 128-lane axis that small-C f32 training activations waste
+    wfold: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -154,6 +154,9 @@ class VectorAggregate(nn.Module):
             (B, D, H, W, G) aggregated cost volume; for warp_impl="fused":
             (B, D, H, G, W) — the layout the Pallas U-Net consumes directly.
         """
+        from mdfnet_tpu.parallel import halo
+        spatial_ctx = halo.current_ctx()
+
         ref_feat, src_feats = features[0], features[1:]
         g = self.ngroups
 
@@ -163,6 +166,10 @@ class VectorAggregate(nn.Module):
         if train and impl in ("pallas", "fused"):
             # these Pallas kernels have no autodiff rule; the dense path
             # computes the identical warp with full differentiability
+            impl = "dense"
+        if spatial_ctx is not None:
+            # spatial sharding: warp sources are all-gathered below and the
+            # XLA dense path handles the band-height ref grid
             impl = "dense"
 
         if impl == "fused":
@@ -185,6 +192,14 @@ class VectorAggregate(nn.Module):
         warp = {"dense": homography_warp_dense,
                 "pallas": homography_warp_pallas,
                 "gather": homography_warp}[impl]
+        if spatial_ctx is not None:
+            # the warp needs global source rows (epipolar lines cross band
+            # boundaries): gather the small 2D features, keep the big 3D
+            # volumes sharded. out_h keeps the ref grid band-local; ref_proj
+            # carries the band's global offset via its shifted cy.
+            warp_ = warp
+            warp = lambda f, sp, rp, hy: warp_(
+                halo.all_gather_rows(f, h_axis=1), sp, rp, hy, out_h=h)
 
         if cg == 2:
             # Pair fast path (the reference config has C/G == 2 at every

@@ -43,6 +43,15 @@ class CoreNet(nn.Module):
     ngroups: Tuple[int, ...] = (32, 16, 8)
     warp_impl: str = "dense"
     pallas_conv: bool = False
+    # rematerialise per-stage blocks in the backward pass (training only):
+    # the (B,D,H,W,G) cost volumes and 3D U-Net activations are recomputed
+    # instead of stored, fitting the reference's batch-4 config (reference
+    # train.py:105, config.py:54) in 16 GB HBM
+    remat: bool = False
+    # width-fold the U-Net volumes (ops/wfold.py): XLA lane-pads the small-C
+    # f32 activations up to 8x, which dominates training HBM; folding is an
+    # exact kernel transform that fills the lanes (4x less padded memory)
+    wfold: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -58,17 +67,32 @@ class CoreNet(nn.Module):
             eval:  {"depth": (B, H, W), "confidence": (B, H, W)}
         """
         nstages = len(self.ndepths)
-        backbone = FPN4Scales(self.chs, dtype=self.dtype,
-                              pallas_eval=self.pallas_conv, name="backbone")
-        aggregates = [VectorAggregate(self.ngroups[s], dtype=self.dtype,
-                                      warp_impl=self.warp_impl,
-                                      name=f"aggregate{s}") for s in range(nstages)]
-        regulars = [RegularNet3Scales(16, dtype=self.dtype,
-                                      pallas_eval=self.pallas_conv,
-                                      name="regular0")]
-        regulars += [RegularNet4Scales(8, dtype=self.dtype,
-                                       pallas_eval=self.pallas_conv,
-                                       name=f"regular{s}")
+        # Under remat (training), the per-stage blocks are wrapped with
+        # nn.remat: the backward pass recomputes the warp/cost-volume/U-Net
+        # intermediates instead of storing them. Lifted transforms keep the
+        # variable tree identical, so checkpoints/.pth import are unaffected.
+        use_remat = train and self.remat
+        BackboneCls = (nn.remat(FPN4Scales, static_argnums=(2,))
+                       if use_remat else FPN4Scales)
+        AggregateCls = (nn.remat(VectorAggregate, static_argnums=(5, 6))
+                        if use_remat else VectorAggregate)
+        Reg3Cls = (nn.remat(RegularNet3Scales, static_argnums=(2, 3))
+                   if use_remat else RegularNet3Scales)
+        Reg4Cls = (nn.remat(RegularNet4Scales, static_argnums=(2, 3))
+                   if use_remat else RegularNet4Scales)
+        backbone = BackboneCls(self.chs, dtype=self.dtype,
+                               pallas_eval=self.pallas_conv, name="backbone")
+        aggregates = [AggregateCls(self.ngroups[s], dtype=self.dtype,
+                                   warp_impl=self.warp_impl,
+                                   name=f"aggregate{s}") for s in range(nstages)]
+        regulars = [Reg3Cls(16, dtype=self.dtype,
+                            pallas_eval=self.pallas_conv,
+                            use_fold=self.wfold,
+                            name="regular0")]
+        regulars += [Reg4Cls(8, dtype=self.dtype,
+                             pallas_eval=self.pallas_conv,
+                             use_fold=self.wfold,
+                             name=f"regular{s}")
                      for s in range(1, nstages)]
         refine = RefineNet2(dtype=self.dtype, pallas_eval=self.pallas_conv,
                             name="refine")
@@ -137,8 +161,7 @@ class CoreNet(nn.Module):
                     # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
                     diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
             cost_volume = aggregates[stage](stage_feats, ref_proj, src_projs,
-                                            depth_hypos, train,
-                                            pair_diffs=diffs)
+                                            depth_hypos, train, diffs)
             # fused aggregation emits (B, D, h, g, w) — with the Pallas
             # U-Nets it runs layout-through with zero transposes; without,
             # convert back to channels-last
@@ -146,7 +169,7 @@ class CoreNet(nn.Module):
                 cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
             prob_volume = regulars[stage](
                 cost_volume, train,
-                dhcw=fused and self.pallas_conv)  # (B, D, h, w) f32
+                fused and self.pallas_conv)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
 

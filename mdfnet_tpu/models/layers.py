@@ -61,10 +61,25 @@ class ConvND(nn.Module):
                             tuple(self.kernel_size) + (in_ch, self.features))
         dtype = self.dtype or x.dtype
         dn = _dimension_numbers(ndim)
+        pad_cfg = [(p, p) for p in pads]
+
+        from mdfnet_tpu.parallel import halo
+        ctx = halo.current_ctx()
+        if ctx is not None:
+            # spatial sharding: exchange the H padding rows with mesh
+            # neighbours and convolve unpadded on H — zero fill at global
+            # edges equals the zero padding the unsharded conv applies
+            h_spatial = ndim - 2          # H within the spatial dims
+            ph = pads[h_spatial]
+            if ph > 0:
+                x = halo.halo_exchange(x, h_axis=1 + h_spatial, lo=ph, hi=ph,
+                                       edge="zero")
+                pad_cfg[h_spatial] = (0, 0)
+
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=strides,
-            padding=[(p, p) for p in pads],
+            padding=pad_cfg,
             dimension_numbers=dn,
         )
         if self.use_bias:
@@ -113,6 +128,32 @@ class ConvTransposeND(nn.Module):
         pad_cfg = [(ks - 1 - p, ks - 1 - p + op)
                    for ks, p, op in zip(self.kernel_size, pads, opads)]
         dn = _dimension_numbers(ndim)
+
+        from mdfnet_tpu.parallel import halo
+        ctx = halo.current_ctx()
+        if ctx is not None:
+            # spatial sharding on H. For the U-Nets' (k=3, s=2, p=1, op=1)
+            # upsampling combo, out[2i] depends on x[i] only and out[2i+1] on
+            # x[i], x[i+1]: one below-neighbour row suffices, and the local
+            # dilated band then needs exactly one leading zero (the global
+            # (1, 2) padding's tail rows belong to the last device, where the
+            # ppermute zero fill reproduces them).
+            h_sp = ndim - 2
+            sh, kh, ph, oph = (strides[h_sp], self.kernel_size[h_sp],
+                               pads[h_sp], opads[h_sp])
+            if sh == 1:
+                lo, hi = kh - 1 - ph, kh - 1 - ph + oph
+                if lo or hi:
+                    x = halo.halo_exchange(x, 1 + h_sp, lo=lo, hi=hi,
+                                           edge="zero")
+                pad_cfg[h_sp] = (0, 0)
+            else:
+                assert (sh, kh, ph, oph) == (2, 3, 1, 1), (
+                    "spatial sharding supports the U-Net transposed-conv "
+                    "combo only")
+                x = halo.halo_exchange(x, 1 + h_sp, lo=0, hi=1, edge="zero")
+                pad_cfg[h_sp] = (1, 0)
+
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), k.astype(dtype),
             window_strides=(1,) * ndim,

@@ -20,6 +20,8 @@ def build_model(config: ModelConfig | None = None) -> CoreNet:
         ngroups=tuple(config.ngroups),
         warp_impl=config.warp_impl,
         pallas_conv=config.pallas_conv,
+        remat=config.remat,
+        wfold=config.wfold,
         dtype=_DTYPES[config.compute_dtype],
     )
 

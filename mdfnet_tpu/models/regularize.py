@@ -42,7 +42,7 @@ class ProbConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, dhcw: bool = False):
+    def __call__(self, x, dhcw: bool = False, train: bool = False):
         if dhcw:
             b, d, h, c, w = x.shape
         else:
@@ -50,6 +50,18 @@ class ProbConv(nn.Module):
         kernel = self.param("kernel", _torch_conv_init(c * 27), (3, 3, 3, c, 1))
         dtype = self.dtype or x.dtype
         k = kernel.astype(dtype)
+        if train:
+            # training: ONE lax conv. Autodiff of the 27-tap contraction
+            # loop below schedules many concurrent per-tap gradient fusions
+            # whose (B,D,H,W,C) temps are lane-padded up to 16x — measured
+            # 12+ GB at the reference batch-4 config. The single conv keeps
+            # one transient buffer and XLA's own conv backward.
+            assert not dhcw
+            from mdfnet_tpu.models.layers import _dimension_numbers
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), k, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=_dimension_numbers(3))
+            return y[..., 0].astype(jnp.float32)
         out = jnp.zeros((b, d, h, w), jnp.float32)
         if dhcw:
             xp = jnp.pad(x.astype(dtype),
@@ -63,7 +75,17 @@ class ProbConv(nn.Module):
                             "bdhcw,c->bdhw", tap, k[dz, dy, dx, :, 0],
                             preferred_element_type=jnp.float32)
             return out
-        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        from mdfnet_tpu.parallel import halo
+        ctx = halo.current_ctx()
+        if ctx is not None:
+            # spatial sharding: the H extension rows come from the mesh
+            # neighbours (zeros at global edges = the pad below)
+            xh = halo.halo_exchange(x.astype(dtype), h_axis=2, lo=1, hi=1,
+                                    edge="zero")
+            xp = jnp.pad(xh, ((0, 0), (1, 1), (0, 0), (1, 1), (0, 0)))
+        else:
+            xp = jnp.pad(x.astype(dtype),
+                         ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         for dz in range(3):
             for dy in range(3):
                 for dx in range(3):
@@ -178,7 +200,7 @@ class RegularNet3Scales(nn.Module):
             skip0_x = wf.fold_w(skip0_x) if s.folded else wf.unfold_w(skip0_x)
         s.x = s.x + skip0_x
 
-        out = ProbConv(dtype=dt, name="prob")(s.value())
+        out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
         return nn.softmax(out, axis=1)
 
     def _dhcw_path(self, x, c0, c1, c2):
@@ -266,7 +288,7 @@ class RegularNet4Scales(nn.Module):
             x1_x = wf.fold_w(x1_x) if s.folded else wf.unfold_w(x1_x)
         s.x = s.x + x1_x
 
-        out = ProbConv(dtype=dt, name="prob")(s.value())
+        out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
         return nn.softmax(out, axis=1)
 
     def _dhcw_path(self, x, c0, c1, c2, c3):

@@ -137,6 +137,18 @@ def resize_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
         return jnp.stack([even, odd], axis=-1).reshape(v.shape[:-1] + (2 * n,))
 
     x = upsample_last(x)                      # width
+
+    from mdfnet_tpu.parallel import halo
+    ctx = halo.current_ctx()
+    if ctx is not None:
+        # spatial sharding: the H stencil needs one real neighbour row per
+        # side; replicate-edge fill at global borders matches the clamped
+        # half-pixel taps of the unsharded stencil
+        x = halo.halo_exchange(x, h_axis=x.ndim - 2, lo=1, hi=1,
+                               edge="replicate")
+        x = upsample_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)
+        return jax.lax.slice_in_dim(x, 2, x.shape[-2] - 2, axis=x.ndim - 2)
+
     x = upsample_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)  # height
     return x
 

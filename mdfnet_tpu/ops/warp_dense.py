@@ -138,25 +138,33 @@ def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                           ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
                           *, x_tile: int = 128, y_window: int = 16,
-                          x_margin: int = 64, chunk_tiles: int = 512
-                          ) -> jnp.ndarray:
+                          x_margin: int = 64, chunk_tiles: int = 512,
+                          out_h: int | None = None) -> jnp.ndarray:
     """Drop-in twin of ops.warp.homography_warp on the dense matmul path.
 
     Returns (B, D, H, W, C); see module docstring for the exactness
     condition (checked but not enforced — use homography_warp for a
     guaranteed-exact fallback).
+
+    out_h: reference-grid height when it differs from the source height —
+    under spatial sharding the ref band is local while the source rows are
+    all-gathered, and ref_proj carries the band's global row offset in its
+    (shifted) principal point. The sampling-coordinate convention
+    (reference_grid_coords) always uses the source extent, i.e. the GLOBAL
+    image height, exactly as the unsharded model does.
     """
     b, h, w, c = src_feat.shape
     d = depth_hypos.shape[1]
+    oh = out_h or h
 
     x_src, y_src = geometry.sweep_coordinates(
         src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
-        depth_hypos.astype(jnp.float32), h, w)
+        depth_hypos.astype(jnp.float32), oh, w)
     x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
-    x_eff = jax.lax.stop_gradient(x_eff).reshape(b, d * h, w)
-    y_eff = jax.lax.stop_gradient(y_eff).reshape(b, d * h, w)
+    x_eff = jax.lax.stop_gradient(x_eff).reshape(b, d * oh, w)
+    y_eff = jax.lax.stop_gradient(y_eff).reshape(b, d * oh, w)
 
     samples, _ = dense_sample_2d(src_feat, x_eff, y_eff, x_tile=x_tile,
                                  y_window=y_window, x_margin=x_margin,
                                  chunk_tiles=chunk_tiles)
-    return samples.reshape(b, d, h, w, c)
+    return samples.reshape(b, d, oh, w, c)

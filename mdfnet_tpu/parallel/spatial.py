@@ -1,92 +1,77 @@
-"""Spatial sharding of eval inference over the image-height axis.
+"""Exact spatial sharding of eval inference over the image-height axis.
 
 The workload's analog of sequence/context parallelism (SURVEY.md §5): the
 plane-sweep cost volumes at full DTU resolution dominate HBM, and their H
-axis is the natural shard dimension. This module implements **overlap-tile
-decomposition** over a mesh axis via shard_map:
+axis is the natural shard dimension. Every device holds an H-band of the
+images, features, cost volumes, and outputs; H-stencil ops exchange exactly
+the rows they need with mesh neighbours (parallel/halo.py):
 
-- every device takes an H-band of the padded input images extended by
-  ``overlap`` rows on each side (static halo, materialised by an all-gather
-  of band edges — cheap relative to the compute);
-- the full cascade runs independently per band (all convs/warps local);
-- each device crops its valid center rows and the results are reassembled.
+- convs / transposed convs swap ``padding`` rows per side (ppermute);
+- the 2x bilinear upsamplers swap one row per side;
+- plane-sweep warps all-gather the small 2D source features and keep the
+  large 3D volumes sharded.
 
-Exactness: outputs match single-device inference wherever the overlap covers
-the network's receptive field; with the default 128-row overlap the residual
-edge effect is confined to band boundaries and is far below the DTU metric's
-0.2 mm resolution in practice. (A full halo-exchange convolution pipeline
-would make it bit-exact at higher complexity; overlap-tiling is the
-establishment practice for tiled dense inference.)
+This is **exact** (up to XLA reassociation noise, < 1e-5): unlike
+overlap-tiling there is no receptive-field approximation, because each
+stencil op gets its true neighbour rows. Memory for every sharded tensor
+scales 1/n, enabling full-resolution eval on small-HBM chips — the TPU
+equivalent of the reference's only memory lever, cropping
+(reference load/dtueval.py:34 crops 1200 -> 1184).
 
-Geometry note: each band runs the *same* cameras as the full image — the
-band's row offset is handled by shifting the principal point cy, so the
-plane-sweep warps sample identical world geometry per band.
+Geometry: each band runs the same cameras as the full image; the band's
+global row offset enters through the REFERENCE view's principal point cy
+(the unprojected rays then carry global geometry), while source views keep
+their true intrinsics because warps sample the all-gathered (global-row)
+source features.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mdfnet_tpu.parallel import halo
+
+# band starts must align with the deepest downsampling grid: 1/8 backbone
+# features further downsampled 4x (stage-0 3-scale U-Net) or the 1/4
+# features downsampled 8x (4-scale U-Nets) -> 32 full-res rows
+ALIGN = 32
 
 
 def spatial_eval_forward(model, variables, mesh: Mesh, imgs, extrinsics,
-                         intrinsics, depth_range, overlap: int = 128,
-                         axis: str = "spatial"):
+                         intrinsics, depth_range, axis: str = "spatial"):
     """Run eval forward with H sharded over ``axis`` of ``mesh``.
 
     Args:
-        imgs: (B, V, H, W, 3); H must be divisible by (mesh[axis] * 8).
-        overlap: halo rows on each side of a band (multiple of 8).
+        imgs: (B, V, H, W, 3); H must be divisible by (mesh[axis] * 32).
     Returns:
-        {"depth": (B, H, W), "confidence": (B, H, W)} identical in layout to
-        the unsharded forward.
+        {"depth": (B, H, W), "confidence": (B, H, W)} identical (to within
+        float reassociation noise) to the unsharded forward.
     """
     n = mesh.shape[axis]
     b, v, h, w, c = imgs.shape
-    assert h % (n * 8) == 0, f"H={h} must divide {n}*8"
-    assert overlap % 8 == 0, "overlap must be a multiple of 8"
+    assert h % (n * ALIGN) == 0, f"H={h} must divide {n}*{ALIGN}"
+    assert not getattr(model, "pallas_conv", False), (
+        "spatial sharding runs the XLA conv path (pallas_conv=False)")
     band = h // n
 
     def band_forward(band_imgs, extr, intr, drange):
-        """One device: band + halos -> cropped band outputs."""
-        # band_imgs: (B, V, band, W, 3) local shard; gather halo rows from
-        # neighbours via ppermute
-        top_halo = band_imgs[:, :, :overlap]
-        bot_halo = band_imgs[:, :, -overlap:]
-        perm_down = [(i, (i + 1) % n) for i in range(n)]
-        perm_up = [(i, (i - 1) % n) for i in range(n)]
-        from_above = jax.lax.ppermute(bot_halo, axis, perm_down)
-        from_below = jax.lax.ppermute(top_halo, axis, perm_up)
-
+        """One device: H-band in, H-band out; halos exchanged per layer."""
         idx = jax.lax.axis_index(axis)
-        # edge devices have no real neighbour: pad with zeros (black border —
-        # the crop removes any influence beyond the overlap anyway)
-        from_above = jnp.where(idx == 0, jnp.zeros_like(from_above), from_above)
-        from_below = jnp.where(idx == n - 1, jnp.zeros_like(from_below),
-                               from_below)
+        row0 = (idx * band).astype(jnp.float32)
+        # global geometry for band rows: shift ONLY the reference view's cy
+        # (source views keep true intrinsics — their features are gathered
+        # to full height before sampling)
+        intr_shift = intr.at[:, 0, 1, 2].add(-row0)
+        with halo.spatial_sharding(axis, n):
+            out = model.apply(variables, band_imgs, extr, intr_shift,
+                              drange, train=False)
+        return out["depth"], out["confidence"]
 
-        padded = jnp.concatenate([from_above, band_imgs, from_below], axis=2)
-
-        # shift the principal point: padded row 0 is global row
-        # idx*band - overlap
-        row0 = (idx * band - overlap).astype(jnp.float32)
-        intr_shift = intr.at[:, :, 1, 2].add(-row0)
-
-        out = model.apply(variables, padded, extr, intr_shift, drange,
-                          train=False)
-        depth = out["depth"][:, overlap:overlap + band]
-        conf = out["confidence"][:, overlap:overlap + band]
-        return depth, conf
-
-    shard_spec = P(None, None, axis, None, None)
     fn = jax.shard_map(
         band_forward,
         mesh=mesh,
-        in_specs=(shard_spec, P(), P(), P()),
+        in_specs=(P(None, None, axis, None, None), P(), P(), P()),
         out_specs=(P(None, axis, None), P(None, axis, None)),
         check_vma=False,
     )

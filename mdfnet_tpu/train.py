@@ -116,10 +116,14 @@ def main(argv=None):
     parser.add_argument("--nviews", type=int, default=None)
     parser.add_argument("--ckpt-dir", default=None,
                         help="checkpoint directory (default: pth)")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable per-stage gradient rematerialisation "
+                             "(remat is on by default so the reference's "
+                             "batch-4 config fits one 16 GB chip)")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
-    model_cfg = ModelConfig()
+    model_cfg = ModelConfig(remat=not args.no_remat)
 
     def train_config(default_batch: int) -> TrainConfig:
         overrides = {}

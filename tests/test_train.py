@@ -50,6 +50,27 @@ def test_overfit_decreases_loss(small_setup):
     assert np.isfinite(losses).all()
 
 
+def test_remat_step_matches_plain(small_setup):
+    """nn.remat of the per-stage blocks must not change the computation:
+    identical loss and post-step params (VERDICT item 4 — remat lets the
+    reference's batch-4 640x512 config train on a 16 GB chip)."""
+    import dataclasses
+
+    batch, cfg, _, _ = small_setup
+    results = []
+    for remat in (False, True):
+        mc = dataclasses.replace(SMALL, remat=remat)
+        model, state = create_train_state(jax.random.PRNGKey(0), mc, batch)
+        step = make_train_step(model, cfg)
+        state, loss = step(state, batch)
+        results.append((float(loss), state.params))
+    (l0, p0), (l1, p1) = results
+    assert abs(l0 - l1) < 1e-6, (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_data_parallel_matches_single_device(small_setup):
     """Gradients (pre-optimizer) from the sharded batch must equal the
     single-device gradients — comparing post-Adam params would let the

@@ -10,8 +10,10 @@ from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
 from mdfnet_tpu.train_lib import create_train_state, make_train_step
 
 
-def main():
-    H, W, V, B = 512, 640, 5, 1  # per-chip batch (the reference splits B=4 over up to 8 GPUs)
+def main(batch_size: int = 1, remat: bool = False, wfold: bool = False):
+    # per-chip batch: the reference splits B=4 over up to 8 GPUs; with remat
+    # the full reference batch fits ONE 16 GB chip (pass batch_size=4)
+    H, W, V, B = 512, 640, 5, batch_size
     scene = make_plane_scene(height=H, width=W, nviews=V, plane_depth=650.0,
                              tilt=0.05)
     batch_np = make_batch(scene, batch=B)
@@ -21,7 +23,7 @@ def main():
 
     platform = jax.devices()[0].platform
     warp = "pallas" if platform != "cpu" else "dense"
-    model_cfg = ModelConfig(warp_impl=warp)
+    model_cfg = ModelConfig(warp_impl=warp, remat=remat, wfold=wfold)
     train_cfg = TrainConfig(batch_size=B)
 
     model, state = create_train_state(jax.random.PRNGKey(0), model_cfg, batch)
@@ -35,9 +37,15 @@ def main():
         state, loss = step(state, batch)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step: {dt*1000:.0f} ms  ({B / dt:.2f} items/s, "
-          f"loss {float(loss):.4f})")
+    print(f"train step (B={B}, remat={remat}, wfold={wfold}): {dt*1000:.0f} ms  "
+          f"({B / dt:.2f} items/s, loss {float(loss):.4f})")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--batch-size", type=int, default=1)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--wfold", action="store_true")
+    a = p.parse_args()
+    main(a.batch_size, a.remat, a.wfold)
