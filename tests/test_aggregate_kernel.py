@@ -9,6 +9,10 @@ from mdfnet_tpu.models.aggregate import VectorAggregate
 from mdfnet_tpu.ops.pallas.aggregate_kernel import (
     rowsweep_aggregate, rowsweep_cover)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _scene(rng, b=1, v=4, h=24, w=40, c=16):
     feats = [jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 0.5)

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 from mdfnet_tpu.models.backbone import FPN4Scales
 from mdfnet_tpu.ops.pallas import conv2d_kernel
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _interpret_conv2d():
     orig = conv2d_kernel.conv2d_fused

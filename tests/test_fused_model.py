@@ -10,6 +10,10 @@ from mdfnet_tpu.models.core import CoreNet
 from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
 from mdfnet_tpu.ops.pallas import aggregate_kernel
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _interpret_rowsweep():
     orig = aggregate_kernel.rowsweep_aggregate

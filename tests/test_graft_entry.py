@@ -6,6 +6,10 @@ import numpy as np
 
 import jax
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _load_graft():
     sys.path.insert(0, "/root/repo")

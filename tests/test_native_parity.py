@@ -2,6 +2,8 @@
 the read-only mount at test time (never copied)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 

@@ -8,6 +8,10 @@ from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
 from mdfnet_tpu.ops.pallas.warp_kernel import pallas_sample_2d
 from mdfnet_tpu.ops.sample import bilinear_sample_2d
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_pallas_sample_matches_gather(rng):
     h, w, c = 40, 260, 8

@@ -9,6 +9,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 import jax

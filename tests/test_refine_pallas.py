@@ -9,6 +9,10 @@ import jax.numpy as jnp
 from mdfnet_tpu.models.refine import RefineNet2
 from mdfnet_tpu.ops.pallas import conv2d_kernel
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_refine_pallas_matches_xla(rng):
     depth = jnp.asarray(600.0 + 50 * rng.rand(2, 16, 24).astype(np.float32))

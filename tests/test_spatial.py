@@ -56,6 +56,7 @@ def test_halo_exchange_matches_padding():
         np.testing.assert_array_equal(r[i], xe[i * 8:i * 8 + 10])
 
 
+@pytest.mark.slow
 def test_spatial_sharded_eval_matches_single_device():
     n = 4
     assert len(jax.devices()) >= n
@@ -79,6 +80,7 @@ def test_spatial_sharded_eval_matches_single_device():
     assert cerr.max() < 1e-4, f"max confidence err {cerr.max()}"
 
 
+@pytest.mark.slow
 def test_spatial_two_shards_bigger_image():
     """A second geometry (2 shards, taller image, 4 views) — guards against
     n-specific or alignment-specific coincidences."""
