@@ -86,7 +86,7 @@ def make_plane_scene(height: int = 128, width: int = 160, nviews: int = 3,
 def write_dtu_train_tree(root: str, scans=(1, 2), nviews: int = 4,
                          lightings: int = 2, height: int = 64,
                          width: int = 96, plane_depth: float = 600.0,
-                         tilt: float = 0.05) -> None:
+                         tilt: float = 0.05, baseline: float = 12.0) -> None:
     """Materialise a synthetic scene on disk in the DTU TRAIN layout
     (reference load/getpath.py:4-45) so the real train CLI can run on it.
 
@@ -105,7 +105,7 @@ def write_dtu_train_tree(root: str, scans=(1, 2), nviews: int = 4,
     for si, scan in enumerate(scans):
         scene = make_plane_scene(height=height, width=width, nviews=nviews,
                                  plane_depth=plane_depth + 20.0 * si,
-                                 tilt=tilt)
+                                 tilt=tilt, baseline=baseline)
         rect = os.path.join(root, "Rectified", f"scan{scan}_train")
         dep = os.path.join(root, "Depths", f"scan{scan}_train")
         os.makedirs(rect, exist_ok=True)
@@ -125,8 +125,8 @@ def write_dtu_train_tree(root: str, scans=(1, 2), nviews: int = 4,
 
 def write_dtu_eval_tree(root: str, scans=(9,), nviews: int = 5,
                         height: int = 64, width: int = 96,
-                        plane_depth: float = 600.0, tilt: float = 0.05
-                        ) -> "SyntheticScene":
+                        plane_depth: float = 600.0, tilt: float = 0.05,
+                        baseline: float = 12.0) -> "SyntheticScene":
     """Materialise a synthetic scene in the DTU EVAL layout
     (scan{X}/images/{v:08d}.jpg + scan{X}/cams + root pair.txt) for the eval
     CLI. Returns the scene (GT for downstream metric checks). JPEG
@@ -137,7 +137,9 @@ def write_dtu_eval_tree(root: str, scans=(9,), nviews: int = 5,
     from mdfnet_tpu.data.formats import write_cam_file, write_pair_file
 
     scene = make_plane_scene(height=height, width=width, nviews=nviews,
-                             plane_depth=plane_depth, tilt=tilt)
+                             plane_depth=plane_depth, tilt=tilt,
+                             baseline=baseline)
+    os.makedirs(root, exist_ok=True)
     pairs = [(r, [s for s in range(nviews) if s != r]) for r in range(nviews)]
     write_pair_file(os.path.join(root, "pair.txt"), pairs)
     for scan in scans:

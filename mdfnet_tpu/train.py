@@ -110,6 +110,8 @@ def main(argv=None):
     parser.add_argument("--root", default=None, help="dataset root override")
     parser.add_argument("--scans", default=None,
                         help="comma-separated scan ids (default: full split)")
+    parser.add_argument("--lightings", type=int, default=None,
+                        help="number of DTU lighting conditions (default: 7)")
     parser.add_argument("--epochs", type=int, default=None,
                         help="max epochs (default: reference's 30)")
     parser.add_argument("--batch-size", type=int, default=None)
@@ -142,9 +144,11 @@ def main(argv=None):
         train_cfg = train_config(default_batch=4)
         scans = (tuple(int(s) for s in args.scans.split(","))
                  if args.scans else data_cfg.dtu_train_scans)
+        lightings = (tuple(range(args.lightings)) if args.lightings
+                     else data_cfg.dtu_lightings)
         dataset = DTUTrainDataset(
             os.path.join(data_cfg.root_dir, data_cfg.dtu_train_subdir),
-            scans=scans, lightings=data_cfg.dtu_lightings,
+            scans=scans, lightings=lightings,
             nviews=train_cfg.nviews, robust_sampling=train_cfg.robust_views)
     else:
         from mdfnet_tpu.data.datasets import BlendedMVSTrainDataset

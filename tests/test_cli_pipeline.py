@@ -1,0 +1,165 @@
+"""End-to-end CLI composition on synthetic data through the REAL entry
+points (VERDICT item 3): train CLI -> eval CLI -> fuse CLI (all three
+backends) -> DTU metric CLI.
+
+Two legs:
+- train+eval leg: `mdfnet_tpu.train` main on a synthetic DTU-layout train
+  tree, then `cli.eval` main with the produced orbax checkpoint — exercises
+  filename templates, pair.txt discovery, checkpoint plumbing, the output
+  directory schema (reference README.md:37-65 workflow).
+- fusion+metric leg: analytic GT depth maps written in the eval-output
+  schema, fused by all three `cli.fuse` backends, scored by `cli.dtu_eval`
+  against a synthetic SampleSet (stl ply + ObsMask/Plane .mat) — the fused
+  cloud of perfectly consistent GT depths must score near-zero Acc/Comp.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from mdfnet_tpu.data.formats import read_pfm, write_pfm
+from mdfnet_tpu.data.synthetic import (
+    make_plane_scene, write_dtu_eval_tree, write_dtu_train_tree)
+
+H, W, NV = 64, 96, 11
+# baseline 4.0 keeps the 10-src disparity (10*4/600*320 = 21 px) in-image;
+# 11 views = the DTU pair-file structure (10 srcs per ref) the dynamic
+# filter's consistency ladder needs (count_i >= i for i up to 10)
+PLANE, TILT, BASELINE = 600.0, 0.05, 4.0
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic DTU train + eval trees under one root (the CLIs' --root)."""
+    root = tmp_path_factory.mktemp("dtu_root")
+    write_dtu_train_tree(str(root / "dtu640x512"), scans=(1,), nviews=NV,
+                         lightings=1, height=H, width=W, plane_depth=PLANE,
+                         tilt=TILT, baseline=BASELINE)
+    scene = write_dtu_eval_tree(str(root / "dtu1600x1200"), scans=(9,),
+                                nviews=NV, height=H, width=W,
+                                plane_depth=PLANE, tilt=TILT,
+                                baseline=BASELINE)
+    return root, scene
+
+
+def test_cli_train_then_eval(data_root, tmp_path):
+    root, scene = data_root
+    ckpt_dir = str(tmp_path / "pth")
+
+    from mdfnet_tpu.train import main as train_main
+    train_main(["-d", "dtu", "--root", str(root), "--scans", "1",
+                "--epochs", "2", "--batch-size", "2", "--nviews", "4",
+                "--lightings", "1", "--ckpt-dir", ckpt_dir, "--no-remat"])
+
+    # reference train.py artifacts: per-epoch checkpoint + epoch_loss.txt
+    losses = open(os.path.join(ckpt_dir, "epoch_loss.txt")).read().split()
+    assert len(losses) == 2 and all(np.isfinite(float(l)) for l in losses)
+    assert os.path.isdir(os.path.join(ckpt_dir, "dtu_2"))
+
+    out_dir = str(tmp_path / "outputs")
+    from mdfnet_tpu.cli.eval import main as eval_main
+    eval_main(["-p", os.path.join(ckpt_dir, "dtu_2"), "-d", "dtu",
+               "--root", str(root), "--scans", "9", "-o", out_dir])
+
+    for v in range(NV):
+        depth, _ = read_pfm(os.path.join(out_dir, "scan9", "depth_est",
+                                         f"{v:08d}.pfm"))
+        conf, _ = read_pfm(os.path.join(out_dir, "scan9", "confidence",
+                                        f"{v:08d}.pfm"))
+        assert depth.shape == (H, W) and np.isfinite(depth).all()
+        assert conf.shape == (H, W) and np.isfinite(conf).all()
+        assert os.path.exists(os.path.join(out_dir, "scan9", "depth_est",
+                                           f"{v:08d}.png"))
+    # 2 epochs on one synthetic plane: depth must at least be in-range
+    assert 425.0 <= np.median(depth) <= 935.0
+
+
+def _write_gt_outputs(out_dir, scene):
+    """Analytic GT depths + unit confidence in the eval-output schema."""
+    for v in range(scene.imgs.shape[0]):
+        write_pfm(os.path.join(out_dir, "scan9", "depth_est",
+                               f"{v:08d}.pfm"), scene.depths[v])
+        write_pfm(os.path.join(out_dir, "scan9", "confidence",
+                               f"{v:08d}.pfm"),
+                  np.ones_like(scene.depths[v]))
+
+
+def _write_sample_set(path, scene):
+    """Synthetic DTU SampleSet: stl = backprojected GT of every view,
+    all-observed ObsMask voxel grid, ground plane below the scene."""
+    from scipy.io import savemat
+    from mdfnet_tpu import geometry
+    from mdfnet_tpu.fusion.ply import write_ply
+    import jax.numpy as jnp
+
+    # stl = reference view's surface, cropped to the interior every view
+    # observes (borders fail multi-view consistency by construction, like
+    # regions structured light never sees in the real DTU GT). Max disparity
+    # here: 10 baselines x 4 / depth 600 x focal 320 = 21.3 px.
+    mx, my = 24, 4
+    xyz = geometry.unproject(jnp.asarray(scene.depths[0][None]),
+                             jnp.asarray(scene.intrinsics[0][None]),
+                             jnp.asarray(scene.extrinsics[0][None]))
+    h, w = scene.depths[0].shape
+    stl = np.asarray(xyz)[0].T.reshape(h, w, 3)[my:-my, mx:-mx].reshape(-1, 3)
+    stl = stl.astype(np.float32)
+
+    os.makedirs(os.path.join(path, "Points", "stl"), exist_ok=True)
+    os.makedirs(os.path.join(path, "ObsMask"), exist_ok=True)
+    write_ply(os.path.join(path, "Points", "stl", "stl009_total.ply"), stl)
+
+    lo = stl.min(axis=0) - 5.0
+    hi = stl.max(axis=0) + 5.0
+    res = 2.0
+    shape = tuple(int(np.ceil((hi[i] - lo[i]) / res)) + 2 for i in range(3))
+    # observed = voxels containing stl points, dilated one voxel — data
+    # points beyond the GT's coverage are excluded from Acc exactly like
+    # the official ObsMask excludes what structured light never saw
+    mask = np.zeros(shape, np.uint8)
+    q = np.round((stl - lo) / res).astype(int) + 1
+    mask[q[:, 0], q[:, 1], q[:, 2]] = 1
+    for ax in range(3):
+        mask = mask | np.roll(mask, 1, ax) | np.roll(mask, -1, ax)
+    savemat(os.path.join(path, "ObsMask", "ObsMask9_10.mat"),
+            {"ObsMask": mask,
+             "BB": np.stack([lo, hi]).astype(np.float64),
+             "Res": np.array([[res]])})
+    # plane z >= min: P @ [q, 1] > 0 keeps everything above the near limit
+    zmin = float(stl[:, 2].min())
+    savemat(os.path.join(path, "ObsMask", "Plane9.mat"),
+            {"P": np.array([0.0, 0.0, 1.0, -(zmin - 5.0)]).reshape(4, 1)})
+
+
+@pytest.mark.parametrize("method", ["filter", "vote", "pcd"])
+def test_cli_fuse_and_metric_on_gt(data_root, tmp_path, capsys, method):
+    root, scene = data_root
+    out_dir = str(tmp_path / "outputs")
+    os.makedirs(os.path.join(out_dir, "scan9", "depth_est"))
+    os.makedirs(os.path.join(out_dir, "scan9", "confidence"))
+    _write_gt_outputs(out_dir, scene)
+
+    ply_dir = str(tmp_path / f"plys_{method}")
+    from mdfnet_tpu.cli.fuse import main as fuse_main
+    fuse_main(["-m", method, "-d", "dtu", "--root", str(root),
+               "--scans", "9", "-e", out_dir, "-o", ply_dir])
+
+    from mdfnet_tpu.fusion.ply import read_ply
+    cloud, _ = read_ply(os.path.join(ply_dir, "ours009_l3.ply"))
+    assert len(cloud) > 1000, f"{method}: cloud too small ({len(cloud)})"
+
+    sample_set = str(tmp_path / "SampleSet")
+    _write_sample_set(sample_set, scene)
+
+    from mdfnet_tpu.cli.dtu_eval import main as metric_main
+    metric_main(["--ply_dir", ply_dir, "--sample_set", sample_set,
+                 "--scans", "9"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # GT depths are perfectly multi-view consistent: the fused cloud lies on
+    # the true surface, so Acc/Comp collapse to sampling noise below the
+    # pixel footprint (depth 600 / focal 320 = 1.875 world units per pixel)
+    assert result["acc"] < 1.5, result
+    assert result["comp"] < 1.5, result
+    assert result["overall"] < 1.5, result
