@@ -31,11 +31,26 @@ def load_variables(path: str, model, sample_args):
     import orbax.checkpoint as ocp
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), *sample_args, train=False))
-    template = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), variables)
+    zeros = lambda tree: jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), tree)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), template)
-    return restored
+    try:
+        # bare-variables checkpoint
+        return ckptr.restore(os.path.abspath(path), zeros(variables))
+    except ValueError:
+        # training checkpoint: the full TrainState written every epoch by
+        # train_lib.save_checkpoint (params + BN stats + optimizer + epoch)
+        from mdfnet_tpu.train_lib import TrainState, make_optimizer
+        tx = make_optimizer()
+        state_shape = jax.eval_shape(
+            lambda v: TrainState(params=v["params"],
+                                 batch_stats=v.get("batch_stats", {}),
+                                 opt_state=tx.init(v["params"]),
+                                 epoch=jax.numpy.asarray(1, jax.numpy.int32)),
+            variables)
+        restored = ckptr.restore(os.path.abspath(path), zeros(state_shape))
+        return {"params": restored.params,
+                "batch_stats": restored.batch_stats}
 
 
 def main(argv=None):
@@ -51,10 +66,29 @@ def main(argv=None):
     parser.add_argument("-o", "--output", default="outputs")
     parser.add_argument("--scans", default=None,
                         help="comma-separated scan ids (dtu) or scene names (tanks)")
+    parser.add_argument("--spatial", type=int, default=1, metavar="N",
+                        help="shard the image-height axis over N devices "
+                             "(exact halo-exchange sharding; 1/N HBM per "
+                             "device). Requires H %% (N*32) == 0 and the "
+                             "XLA conv path (disables Pallas fast paths)")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
     model = build_model(ModelConfig())
+
+    def align_crop(h: int) -> int:
+        """Spatial sharding needs band starts on the deepest conv grid
+        (32 rows): align the eval crop down to a multiple of 32*N — the
+        same divisibility workaround the reference's 1200 -> 1184 crop is
+        (load/dtueval.py:34). N=1 leaves the reference crop untouched."""
+        if args.spatial <= 1:
+            return h
+        unit = 32 * args.spatial
+        aligned = (h // unit) * unit
+        if aligned != h:
+            log.info("spatial=%d: crop height %d -> %d (32*N alignment)",
+                     args.spatial, h, aligned)
+        return aligned
 
     if args.dataset == "dtu":
         from mdfnet_tpu.data.datasets import DTUEvalDataset
@@ -63,7 +97,7 @@ def main(argv=None):
         dataset = DTUEvalDataset(
             os.path.join(data_cfg.root_dir, data_cfg.dtu_eval_subdir),
             scans=scans, nviews=EvalConfig().nviews,
-            crop_height=data_cfg.dtu_eval_crop_height)
+            crop_height=align_crop(data_cfg.dtu_eval_crop_height))
     else:
         from mdfnet_tpu.data.datasets import TanksEvalDataset
         scenes = (args.scans.split(",") if args.scans else
@@ -72,14 +106,15 @@ def main(argv=None):
         dataset = TanksEvalDataset(
             os.path.join(data_cfg.root_dir, data_cfg.tanks_subdir, args.set),
             scenes=scenes, nviews=11,
-            crop_height=data_cfg.tanks_crop_height)
+            crop_height=align_crop(data_cfg.tanks_crop_height))
 
     item = dataset[0]
     sample_args = (item["imgs"][None], item["extrinsics"][None],
                    item["intrinsics"][None], item["depth_range"][None])
     variables = load_variables(args.pre_model, model, sample_args)
 
-    stats = run_eval(model, variables, dataset, args.output, log_fn=log.info)
+    stats = run_eval(model, variables, dataset, args.output, log_fn=log.info,
+                     spatial=args.spatial)
     log.info("done: %.3f s/view over %d views", stats["sec_per_view"],
              stats["n_views"])
 

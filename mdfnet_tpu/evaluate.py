@@ -22,7 +22,22 @@ import numpy as np
 from mdfnet_tpu.data.formats import ensure_dir, write_depth_png, write_pfm
 
 
-def make_eval_step(model, variables):
+def make_eval_step(model, variables, spatial: int = 1):
+    if spatial > 1:
+        # exact halo-exchange spatial sharding over the image-height axis
+        # (parallel/spatial.py): 1/n HBM per device, full-res eval without
+        # the reference's crop workaround
+        from mdfnet_tpu.parallel import make_mesh
+        from mdfnet_tpu.parallel.spatial import spatial_eval_forward
+        mesh = make_mesh(data=1, spatial=spatial,
+                         devices=jax.devices()[:spatial])
+
+        @jax.jit
+        def eval_step(imgs, extrinsics, intrinsics, depth_range):
+            return spatial_eval_forward(model, variables, mesh, imgs,
+                                        extrinsics, intrinsics, depth_range)
+        return eval_step
+
     @jax.jit
     def eval_step(imgs, extrinsics, intrinsics, depth_range):
         return model.apply(variables, imgs, extrinsics, intrinsics,
@@ -31,11 +46,12 @@ def make_eval_step(model, variables):
 
 
 def run_eval(model, variables, dataset, output_dir: str,
-             batch_size: int = 1, log_fn=print) -> Dict[str, float]:
+             batch_size: int = 1, log_fn=print,
+             spatial: int = 1) -> Dict[str, float]:
     """Evaluate every item, write outputs, return timing stats."""
     from mdfnet_tpu.data.pipeline import BatchLoader
 
-    eval_step = make_eval_step(model, variables)
+    eval_step = make_eval_step(model, variables, spatial=spatial)
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
                          num_workers=2)
 

@@ -39,7 +39,14 @@ def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
           dataset_name: str = "dtu", pre_model: str | None = None,
           mesh=None) -> None:
     os.makedirs(train_config.checkpoint_dir, exist_ok=True)
-    mesh = mesh or make_mesh()
+    if mesh is None:
+        # batch shards over the data axis, so its extent must divide the
+        # batch: use the largest divisor <= device count (DataParallel
+        # likewise idles surplus GPUs when batch < n_gpus, train.py:24-26)
+        n = len(jax.devices())
+        d = max(k for k in range(1, min(n, train_config.batch_size) + 1)
+                if train_config.batch_size % k == 0)
+        mesh = make_mesh(data=d, devices=jax.devices()[:d])
 
     loader = BatchLoader(dataset, train_config.batch_size, shuffle=True,
                          drop_last=True, num_workers=2, seed=train_config.seed)

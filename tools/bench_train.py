@@ -29,13 +29,17 @@ def main(batch_size: int = 1, remat: bool = False, wfold: bool = False):
     model, state = create_train_state(jax.random.PRNGKey(0), model_cfg, batch)
     step = make_train_step(model, train_cfg)
 
+    def sync(x):
+        # axon block_until_ready can return early; force a D2H readback
+        return float(x)
+
     state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    sync(loss)
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    sync(loss)
     dt = (time.perf_counter() - t0) / iters
     print(f"train step (B={B}, remat={remat}, wfold={wfold}): {dt*1000:.0f} ms  "
           f"({B / dt:.2f} items/s, loss {float(loss):.4f})")

@@ -59,7 +59,7 @@ def main():
           flush=True)
 
     print("=== backbone (5 views stacked) ===", flush=True)
-    backbone = FPN4Scales(dtype=dtype)
+    backbone = FPN4Scales(dtype=dtype, pallas_eval=True)
     imgs = jax.random.uniform(rng, (B * V, H, W, 3), dtype)
     bb_vars = backbone.init(rng, imgs)
     bb = jax.jit(lambda v, x: backbone.apply(v, x))
@@ -90,21 +90,28 @@ def main():
                 jnp.linspace(500, 700, d)[None, :, None, None],
                 (B, d, h, w)).astype(jnp.float32)
 
-        agg = VectorAggregate(g, dtype=dtype, warp_impl="pallas")
-        agg_vars = agg.init(rng, feats, ref_proj, src_projs, hypos)
+        # fused rowsweep warp+aggregate (the bench config): hcw pair diffs
+        hcw_diffs = [jnp.transpose(f[..., 0::2] - f[..., 1::2], (0, 2, 3, 1))
+                     for f in feats]  # (B, H, G, W)
+        agg = VectorAggregate(g, dtype=dtype, warp_impl="fused")
+        agg_vars = agg.init(rng, feats, ref_proj, src_projs, hypos,
+                            False, hcw_diffs)
         agg_apply = jax.jit(
-            lambda v, f, rp, sp, hy: agg.apply(v, f, rp, sp, hy))
-        t = timeit(agg_apply, agg_vars, feats, ref_proj, src_projs, hypos)
-        print(f"stage{s} aggregate (pallas multi): {t*1000:.1f} ms", flush=True)
+            lambda v, f, rp, sp, hy, pd: agg.apply(v, f, rp, sp, hy,
+                                                   False, pd))
+        t = timeit(agg_apply, agg_vars, feats, ref_proj, src_projs, hypos,
+                   hcw_diffs)
+        print(f"stage{s} aggregate (fused rowsweep): {t*1000:.1f} ms",
+              flush=True)
         total_parts += t
 
-        vol = jax.random.uniform(rng, (B, d, h, w, g), dtype)
+        vol = jax.random.uniform(rng, (B, d, h, g, -(-w // 128) * 128), dtype)
         reg = (RegularNet3Scales(16, dtype=dtype, pallas_eval=True) if s == 0
                else RegularNet4Scales(8, dtype=dtype, pallas_eval=True))
-        reg_vars = reg.init(rng, vol)
-        reg_apply = jax.jit(lambda v, x: reg.apply(v, x))
+        reg_vars = reg.init(rng, vol[..., :w].transpose(0, 1, 2, 4, 3))
+        reg_apply = jax.jit(lambda v, x: reg.apply(v, x[..., :w], dhcw=True))
         t = timeit(reg_apply, reg_vars, vol)
-        print(f"stage{s} U-Net pallas ({d}x{h}x{w}x{g}): {t*1000:.1f} ms",
+        print(f"stage{s} U-Net pallas dhcw ({d}x{h}x{w}x{g}): {t*1000:.1f} ms",
               flush=True)
         total_parts += t
 
@@ -126,7 +133,7 @@ def main():
             print(f"stage{s} fitting ({curve}): {t*1000:.1f} ms", flush=True)
             total_parts += t
 
-    refine = RefineNet2(dtype=dtype)
+    refine = RefineNet2(dtype=dtype, pallas_eval=True)
     half_depth = jnp.full((B, H // 2, W // 2), 600.0)
     rf_vars = refine.init(rng, half_depth, drange)
     rf = jax.jit(lambda v, de, r: refine.apply(v, de, r))
