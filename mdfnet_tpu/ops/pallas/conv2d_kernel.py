@@ -6,11 +6,18 @@ on the 128-lane axis (2-16x physical padding) and measures 0.4-2.6 TF/s on a
 v5e. This kernel keeps activations in (H, C, W) layout — C on sublanes, W on
 lanes — and fuses the epilogue (folded BN + ReLU, or bias) into the conv.
 
-Same design as ops/pallas/conv3d_kernel.py minus the depth axis: the dx taps
-are pre-shifted host-side into the sublane axis (Mosaic rejects unaligned
-lane slices, and lane rotates are 32-bit-only on this toolchain), each grid
-step DMAs a double-buffered row slab, and the conv reduces to K_h
-(Co, k*Ci) x (k*Ci, W) MXU matmuls per output row.
+MXU shape: a per-row matmul would be (Co, k*Ci) x (k*Ci, W) with M = Co as
+small as 8 — 6% of the systolic array's rows. Instead R = ~128/Co output
+ROWS are folded into the M axis: one (R*Co, rows*kCi) x (rows*kCi, W) matmul
+per row-block, where the folded weight is block-banded (row r's taps sit at
+input rows stride*r..stride*r+k-1). The zero blocks inflate FLOPs ~3-6x but
+lift MXU row utilisation ~16x for the small-Co layers — measured 10.2 ms ->
+~1 ms on the full-res 8->8 layer (5 views, 1184x1600, v5e).
+
+The dx taps are pre-shifted host-side into the sublane axis (Mosaic rejects
+unaligned lane slices), each grid step DMAs a double-buffered row slab, and
+the slab is viewed as a (rows*kCi, W) matrix (kCi padded to the sublane tile
+so the view is layout-clean).
 
 Supported: kernel 1/3/5, stride 1 (kernel 1/3) or 2 (kernel 3/5), torch
 padding (k-1)//2. Eval-only (no autodiff rule).
@@ -21,26 +28,27 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv2d_kernel(x_ref,        # (N, Hp, kCi, Wp) ANY/HBM (pre-stacked taps)
-                   w_ref,        # (k, Co, kCi) VMEM
-                   scale_ref,    # (1, Co) VMEM f32
-                   offset_ref,   # (1, Co) VMEM f32
-                   out_ref,      # (1, th, Co, Wp) VMEM block
+                   w_ref,        # (R*Co, rows*kCi) VMEM folded weights
+                   scale_ref,    # (1, R*Co) VMEM f32
+                   offset_ref,   # (1, R*Co) VMEM f32
+                   out_ref,      # (1, R*Co, Wp) VMEM block
                    slab, sems,   # scratch (2, rows, kCi, Wp), DMA sems
-                   *, th: int, stride: int, k: int, relu: bool):
+                   *, r_fold: int, stride: int, k: int, relu: bool):
     n = pl.program_id(0)
     hb = pl.program_id(1)
     n_hb = pl.num_programs(1)
     total = pl.num_programs(0) * n_hb
-    rows = stride * th + (k - stride)
+    rows = stride * r_fold + (k - stride)
 
     def dma(slot, nn, hh):
         return pltpu.make_async_copy(
-            x_ref.at[nn, pl.ds(hh * th * stride, rows)],
+            x_ref.at[nn, pl.ds(hh * r_fold * stride, rows)],
             slab.at[slot],
             sems.at[slot],
         )
@@ -56,24 +64,92 @@ def _conv2d_kernel(x_ref,        # (N, Hp, kCi, Wp) ANY/HBM (pre-stacked taps)
         dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
 
     dma(i % 2, n, hb).wait()
-    cur = slab[i % 2]  # (rows, kCi, Wp)
+    kci = slab.shape[2]
+    wp = slab.shape[3]
+    cur = slab[i % 2].reshape(rows * kci, wp)
 
-    scale = scale_ref[0]
-    offset = offset_ref[0]
-    co = w_ref.shape[1]
-    wp = cur.shape[-1]
+    acc = jax.lax.dot_general(
+        w_ref[...], cur,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R*Co, Wp)
+    y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
 
-    for hh in range(th):
-        acc = jnp.zeros((co, wp), jnp.float32)
-        for dy in range(k):
-            acc = acc + jax.lax.dot_general(
-                w_ref[dy], cur[stride * hh + dy],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        y = acc * scale[:, None] + offset[:, None]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        out_ref[0, hh] = y.astype(out_ref.dtype)
+
+def _shift_lanes_left(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """out[..., w] = x[..., w + n] (circular; callers pad so wraps land in
+    discarded columns). pltpu.roll rotates right by a non-negative amount:
+    left-by-n == right-by-(W-n)."""
+    size = x.shape[-1]
+    if x.dtype == jnp.bfloat16:
+        # bf16 packs pairs along SUBLANES (two 16-bit halves per 32-bit
+        # word), so a 32-bit lane roll moves every bf16 element by exactly
+        # n lanes — no half-word recombination needed. Requires an even
+        # sublane extent (ci_pad is a multiple of 16).
+        u = pltpu.bitcast(x, jnp.uint32)  # (..., C/2, W)
+        return pltpu.bitcast(pltpu.roll(u, shift=(size - n) % size, axis=u.ndim - 1),
+                             jnp.bfloat16)
+    assert x.dtype == jnp.float32
+    return pltpu.roll(x, shift=(size - n) % size, axis=x.ndim - 1)
+
+
+def _conv2d_kernel_unstacked(
+        x_ref,        # (N, Hp, ci_pad, Wq) ANY/HBM — raw padded input
+        w_ref,        # (R*Co, rows*k*ci_pad) VMEM folded weights
+        scale_ref,    # (1, R*Co) VMEM f32
+        offset_ref,   # (1, R*Co) VMEM f32
+        out_ref,      # (1, R*Co, Wp) VMEM block
+        slab, taps, sems,  # (2, rows, ci_pad, Wq), (rows, k*ci_pad, Wp)
+        *, r_fold: int, k: int, relu: bool):
+    """Stride-1 path without host-side tap stacking: ONE lane-aligned slab
+    DMA per block; the k dx-shifted tap planes are formed in VMEM by lane
+    rolls. The pre-stacked tensor's extra HBM write+read (3-4x the layer
+    input) was the dominant cost at these bandwidth-bound shapes."""
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+    total = pl.num_programs(0) * n_hb
+    rows = r_fold + k - 1
+    wp = taps.shape[-1]
+    ci_pad = slab.shape[2]
+
+    def dma(slot, nn, hh):
+        return pltpu.make_async_copy(
+            x_ref.at[nn, pl.ds(hh * r_fold, rows)],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    i = n * n_hb + hb
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, n, hb).start()
+
+    @pl.when(i + 1 < total)
+    def _():
+        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
+
+    dma(i % 2, n, hb).wait()
+    blk = slab[i % 2]  # (rows, ci_pad, Wq); col j holds src col j - 128
+
+    for dx in range(k):
+        # tap dx: src col w + dx - (k-1)//2 = slab col w + 128 + dx - p
+        sh = 128 + dx - (k - 1) // 2
+        taps[:, dx * ci_pad:(dx + 1) * ci_pad, :] = (
+            _shift_lanes_left(blk, sh)[..., :wp])
+
+    cur = taps[...].reshape(rows * k * ci_pad, wp)
+    acc = jax.lax.dot_general(
+        w_ref[...], cur,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R*Co, Wp)
+    y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _stack_taps(x: jnp.ndarray, k: int, stride: int, h_out_pad: int,
@@ -105,11 +181,41 @@ def _stack_taps(x: jnp.ndarray, k: int, stride: int, h_out_pad: int,
     return jnp.concatenate(taps, axis=2)
 
 
+def _fold_rows_unstacked(kernel: jnp.ndarray, r_fold: int, k: int,
+                         ci_pad: int) -> jnp.ndarray:
+    """Folded weight for the unstacked stride-1 kernel: (R*Co,
+    rows*k*ci_pad) — rows-major, then dx-major ci_pad blocks, matching the
+    in-kernel taps scratch layout."""
+    _, _, ci, co = kernel.shape
+    rows = r_fold + k - 1
+    w = jnp.zeros((r_fold, co, rows, k, ci_pad), kernel.dtype)
+    for r in range(r_fold):
+        for dy in range(k):
+            for dx in range(k):
+                w = w.at[r, :, r + dy, dx, :ci].set(kernel[dy, dx].T)
+    return w.reshape(r_fold * co, rows * k * ci_pad)
+
+
+def _fold_rows(kernel_kco: np.ndarray | jnp.ndarray, r_fold: int, k: int,
+               stride: int, kci_pad: int) -> jnp.ndarray:
+    """Build the block-banded folded weight (R*Co, rows*kci_pad) from the
+    per-dy tap weights (k, Co, kCi): output row r reads slab rows
+    stride*r + dy, dy in [0, k)."""
+    k_, co, kci = kernel_kco.shape
+    rows = stride * r_fold + (k - stride)
+    w = jnp.zeros((r_fold, co, rows, kci_pad), kernel_kco.dtype)
+    for r in range(r_fold):
+        for dy in range(k):
+            w = w.at[r, :, stride * r + dy, :kci].set(kernel_kco[dy])
+    return w.reshape(r_fold * co, rows * kci_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("th", "stride", "relu",
                                              "interpret"))
 def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
-                 offset: jnp.ndarray, *, th: int = 8, stride: int = 1,
-                 relu: bool = True, interpret: bool = False) -> jnp.ndarray:
+                 offset: jnp.ndarray, *, th: int | None = None,
+                 stride: int = 1, relu: bool = True,
+                 interpret: bool = False) -> jnp.ndarray:
     """Fused conv2d + per-channel scale/offset (+ ReLU) on (N, H, C, W).
 
     Args:
@@ -119,6 +225,8 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         scale, offset: (Co,) folded epilogue: y = conv(x)*scale + offset.
             BN eval: scale = gamma*rsqrt(var+eps), offset = beta - mean*scale.
             Plain bias: scale = 1, offset = bias.
+        th: output rows folded into the matmul M axis per grid step
+            (default ~128/Co, the MXU row count).
     Returns:
         (N, H_out, Co, W_out), *_out = ceil(*/stride).
     """
@@ -128,51 +236,95 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     assert k in (1, 3, 5) and stride in (1, 2)
     h_out = -(-h // stride)
     w_out = -(-w // stride)
-    h_out_pad = -(-h_out // th) * th
+    r_fold = th or max(1, min(128 // co, 16, h_out))
+    h_out_pad = -(-h_out // r_fold) * r_fold
     wp = -(-w_out // 128) * 128
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
 
-    if k == 1 and stride == 1:
-        hp = h_out_pad
-        xs = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
-    else:
-        xs = _stack_taps(x, k, stride, h_out_pad, wp)
+    if stride == 1:
+        # unstacked path: ONE lane-aligned slab DMA per block; dx taps are
+        # lane rolls in VMEM (no 3-4x pre-stacked HBM tensor)
+        p = (k - 1) // 2
+        ci_pad = -(-ci // sub) * sub
+        rows = r_fold + k - 1
+        wq = wp + 256  # slab col j = src col j - 128; covers w+1 with slack
+        xs = jnp.pad(x, ((0, 0), (p, h_out_pad + k - 1 - h - p),
+                         (0, ci_pad - ci), (128, wq - 128 - w)))
+        wfold = _fold_rows_unstacked(kernel.astype(x.dtype), r_fold, k,
+                                     ci_pad)
+        scale2 = jnp.tile(scale.reshape(1, co).astype(jnp.float32),
+                          (1, r_fold))
+        offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32),
+                           (1, r_fold))
+        kern = functools.partial(_conv2d_kernel_unstacked, r_fold=r_fold,
+                                 k=k, relu=relu)
+        out = pl.pallas_call(
+            kern,
+            grid=(n, h_out_pad // r_fold),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((r_fold * co, rows * k * ci_pad),
+                             lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, r_fold * co, wp),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h_out_pad * co, wp), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, ci_pad, wq), x.dtype),
+                pltpu.VMEM((rows, k * ci_pad, wp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xs, wfold, scale2, offset2)
+        out = out.reshape(n, h_out_pad, co, wp)
+        return out[:, :h_out, :, :w_out]
+
+    xs = _stack_taps(x, k, stride, h_out_pad, wp)
 
     # (k, Co, k*Ci): dy-major taps; dx taps match _stack_taps' sublane order
     kk = jnp.transpose(kernel, (0, 3, 1, 2)).reshape(k, co, k * ci)
     kk = kk.astype(x.dtype)
 
-    # keep the contraction/sublane dim a multiple of 8 (RGB input: k*Ci = 9)
+    # the in-kernel (rows, kci, W) -> (rows*kci, W) view needs kci aligned
+    # to the sublane tile (8 f32 / 16 bf16)
     kci = k * ci
-    kci_pad = -(-kci // 8) * 8
+    kci_pad = -(-kci // sub) * sub
     if kci_pad != kci:
         xs = jnp.pad(xs, ((0, 0), (0, 0), (0, kci_pad - kci), (0, 0)))
-        kk = jnp.pad(kk, ((0, 0), (0, 0), (0, kci_pad - kci)))
-    scale2 = scale.reshape(1, co).astype(jnp.float32)
-    offset2 = offset.reshape(1, co).astype(jnp.float32)
+    wfold = _fold_rows(kk, r_fold, k, stride, kci_pad)
 
-    kern = functools.partial(_conv2d_kernel, th=th, stride=stride, k=k,
-                             relu=relu)
-    rows = stride * th + (k - stride)
+    scale2 = jnp.tile(scale.reshape(1, co).astype(jnp.float32), (1, r_fold))
+    offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32), (1, r_fold))
+
+    kern = functools.partial(_conv2d_kernel, r_fold=r_fold, stride=stride,
+                             k=k, relu=relu)
+    rows = stride * r_fold + (k - stride)
     out = pl.pallas_call(
         kern,
-        grid=(n, h_out_pad // th),
+        grid=(n, h_out_pad // r_fold),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((k, co, kci_pad), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((r_fold * co, rows * kci_pad),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i, j: (0, 0),
+            pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, co, wp),
-                               lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, r_fold * co, wp),
+                               lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h_out_pad, co, wp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out_pad * co, wp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, rows, kci_pad, wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xs, kk, scale2, offset2)
+    )(xs, wfold, scale2, offset2)
+    out = out.reshape(n, h_out_pad, co, wp)
     return out[:, :h_out, :, :w_out]

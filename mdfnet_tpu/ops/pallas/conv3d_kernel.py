@@ -6,12 +6,14 @@ every conv and its surrounding copies to a fraction of HBM bandwidth. This
 kernel keeps activations in (D, H, C, W) layout — C on sublanes, W on lanes,
 zero padding waste — and fuses the folded BN scale/offset + ReLU.
 
-Mosaic dislikes unaligned lane slices, so the W-taps are pre-shifted
-host-side into the sublane axis: the input is expanded once per conv to
-(D+2, H+2, 3*Ci, Wp) holding the dx in {-1,0,1} shifted copies stacked over
-channels. Each grid step then DMAs a (3, Th+2, 3Ci, Wp) halo slab
-(double-buffered) and accumulates 9 (Co, 3Ci) x (3Ci, W) MXU matmuls — the
-three W-taps ride the contraction dim for free.
+Stride 1: each grid step DMAs a raw (3, Th+2, Ci, Wq) halo slab
+(double-buffered, lane-aligned) and forms the dx in {-1,0,1} shifted tap
+copies IN VMEM with 32-bit lane rolls (bf16 pairs pack along sublanes, so a
+uint32 roll shifts bf16 by exact lanes); 9 (Co, 3Ci) x (3Ci, W) MXU matmuls
+accumulate per output row. The previous host-side tap pre-stack wrote+read
+a 3x copy of every volume through HBM — the dominant cost of these
+bandwidth-bound layers. Stride 2 keeps the host-side parity-decomposed
+stack (strided lane reads cannot be expressed as rolls).
 
 Eval-only (BN running stats folded host-side; no autodiff rule — training
 uses the XLA path).
@@ -33,6 +35,7 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                  out_ref,          # (1, Th, Co, Wp) VMEM block
                  slab, sems,       # scratch (2, 3, s*Th+2, 3Ci, Wp), DMA sems
                  *, th: int, stride: int):
+    """Stride-2 path: consumes the host-side parity-stacked input."""
     d = pl.program_id(0)
     hb = pl.program_id(1)
     n_hb = pl.num_programs(1)
@@ -76,6 +79,65 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
         out_ref[0, hh] = y.astype(out_ref.dtype)
 
 
+def _conv_kernel_unstacked(
+        x_ref,            # (Dp, Hp, ci_pad, Wq) ANY/HBM raw padded input
+        w_ref,            # (9, Co, 3*ci_pad) VMEM
+        scale_ref,        # (1, Co) VMEM f32
+        offset_ref,       # (1, Co) VMEM f32
+        out_ref,          # (1, Th, Co, Wp) VMEM block
+        slab, taps, sems,  # (2, 3, Th+2, ci_pad, Wq), (3, Th+2, 3ci_pad, Wp)
+        *, th: int):
+    """Stride-1 path: raw slab DMA + in-VMEM lane-roll taps."""
+    from mdfnet_tpu.ops.pallas.conv2d_kernel import _shift_lanes_left
+
+    d = pl.program_id(0)
+    hb = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+    n = pl.num_programs(0) * n_hb
+    rows = th + 2
+
+    def dma(slot, dd, hh):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(dd, 3), pl.ds(hh * th, rows)],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    i = d * n_hb + hb
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, d, hb).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
+
+    dma(i % 2, d, hb).wait()
+    blk = slab[i % 2]          # (3, rows, ci_pad, Wq); col j = src col j-128
+    ci_pad = blk.shape[2]
+    wp = taps.shape[-1]
+
+    for dx in range(3):
+        taps[:, :, dx * ci_pad:(dx + 1) * ci_pad, :] = (
+            _shift_lanes_left(blk, 127 + dx)[..., :wp])
+
+    scale = scale_ref[0]
+    offset = offset_ref[0]
+    co = w_ref.shape[1]
+
+    for hh in range(th):
+        acc = jnp.zeros((co, wp), jnp.float32)
+        for dz in range(3):
+            for dy in range(3):
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz * 3 + dy], taps[dz, hh + dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+        out_ref[0, hh] = y.astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("th", "stride", "interpret"))
 def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                    offset: jnp.ndarray, *, th: int = 8, stride: int = 1,
@@ -100,11 +162,46 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     wp = -(-w_out // 128) * 128
 
     if stride == 1:
-        xp = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, 0),
-                         (1, 1 + wp - w)))
-        # shift dx in {0,1,2} into the channel/sublane axis
-        x3 = jnp.concatenate([xp[..., dx:dx + wp] for dx in range(3)], axis=2)
-    else:
+        sub = 16 if x.dtype == jnp.bfloat16 else 8
+        ci_pad = -(-ci // sub) * sub
+        wq = wp + 256
+        xq = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, ci_pad - ci),
+                         (128, wq - 128 - w)))
+        k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
+        k9p = jnp.zeros((3, 3, co, 3 * ci_pad), x.dtype)
+        for dx in range(3):
+            k9p = k9p.at[..., dx * ci_pad:dx * ci_pad + ci].set(
+                k9[:, :, dx].astype(x.dtype))
+        k9p = k9p.reshape(9, co, 3 * ci_pad)
+        scale2 = scale.reshape(1, co).astype(jnp.float32)
+        offset2 = offset.reshape(1, co).astype(jnp.float32)
+        kern = functools.partial(_conv_kernel_unstacked, th=th)
+        out = pl.pallas_call(
+            kern,
+            grid=(d_out, h_out_pad // th),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((9, co, 3 * ci_pad), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, th, co, wp), lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d_out, h_out_pad, co, wp),
+                                           x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, th + 2, ci_pad, wq), x.dtype),
+                pltpu.VMEM((3, th + 2, 3 * ci_pad, wp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xq, k9p, scale2, offset2)
+        return out[:, :h_out, :, :w_out]
+
+    if True:
         # stride 2: tap columns for output w are x[2w-1], x[2w], x[2w+1] —
         # i.e. the even/odd interleave [eq, oq, shift(eq, -1)] of the padded
         # input (eq[w] = xpad[2w], oq[w] = xpad[2w+1])
