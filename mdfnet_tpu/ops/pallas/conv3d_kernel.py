@@ -85,8 +85,8 @@ def _conv_kernel_unstacked(
         scale_ref,        # (1, Co) VMEM f32
         offset_ref,       # (1, Co) VMEM f32
         out_ref,          # (1, Th, Co, Wp) VMEM block
-        slab, taps, sems,  # (2, 3, Th+2, ci_pad, Wq), (3, Th+2, 3ci_pad, Wp)
-        *, th: int):
+        slab, taps, sems,  # (2, 3, Th+2, ci_e, Wq), (3, Th+2, nblk*sub, Wp)
+        *, th: int, gg: int, nblk: int):
     """Stride-1 path: raw slab DMA + in-VMEM lane-roll taps."""
     from mdfnet_tpu.ops.pallas.conv2d_kernel import _shift_lanes_left
 
@@ -114,13 +114,26 @@ def _conv_kernel_unstacked(
         dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
 
     dma(i % 2, d, hb).wait()
-    blk = slab[i % 2]          # (3, rows, ci_pad, Wq); col j = src col j-128
-    ci_pad = blk.shape[2]
+    blk = slab[i % 2]          # (3, rows, ci_e, Wq); col j = src col j-128
+    ci_e = blk.shape[2]
     wp = taps.shape[-1]
 
-    for dx in range(3):
-        taps[:, :, dx * ci_pad:(dx + 1) * ci_pad, :] = (
-            _shift_lanes_left(blk, 127 + dx)[..., :wp])
+    sub = taps.shape[2] // nblk
+    for b in range(nblk):
+        parts = []
+        for t in range(gg):
+            dx = b * gg + t
+            if dx < 3:
+                parts.append(_shift_lanes_left(blk, 127 + dx)[..., :wp])
+            else:
+                parts.append(jnp.zeros(blk.shape[:2] + (ci_e, wp),
+                                       blk.dtype))
+        block = (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=2))
+        if block.shape[2] < sub:
+            block = jnp.pad(block, ((0, 0), (0, 0),
+                                    (0, sub - block.shape[2]), (0, 0)))
+        taps[:, :, b * sub:(b + 1) * sub, :] = block
 
     scale = scale_ref[0]
     offset = offset_ref[0]
@@ -163,25 +176,32 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
 
     if stride == 1:
         sub = 16 if x.dtype == jnp.bfloat16 else 8
-        ci_pad = -(-ci // sub) * sub
+        align = 4 if x.dtype == jnp.bfloat16 else 8
+        ci_e = -(-ci // align) * align
+        if ci_e < sub and sub % ci_e == 0:
+            gg, slot = sub // ci_e, sub
+        else:
+            gg, slot = 1, -(-ci_e // sub) * sub
+        nblk = -(-3 // gg)
         wq = wp + 256
-        xq = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, ci_pad - ci),
+        xq = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, ci_e - ci),
                          (128, wq - 128 - w)))
         k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
-        k9p = jnp.zeros((3, 3, co, 3 * ci_pad), x.dtype)
+        k9p = jnp.zeros((3, 3, co, nblk * slot), x.dtype)
         for dx in range(3):
-            k9p = k9p.at[..., dx * ci_pad:dx * ci_pad + ci].set(
-                k9[:, :, dx].astype(x.dtype))
-        k9p = k9p.reshape(9, co, 3 * ci_pad)
+            off = (dx // gg) * slot + (dx % gg) * ci_e
+            k9p = k9p.at[..., off:off + ci].set(k9[:, :, dx].astype(x.dtype))
+        k9p = k9p.reshape(9, co, nblk * slot)
         scale2 = scale.reshape(1, co).astype(jnp.float32)
         offset2 = offset.reshape(1, co).astype(jnp.float32)
-        kern = functools.partial(_conv_kernel_unstacked, th=th)
+        kern = functools.partial(_conv_kernel_unstacked, th=th, gg=gg,
+                                 nblk=nblk)
         out = pl.pallas_call(
             kern,
             grid=(d_out, h_out_pad // th),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((9, co, 3 * ci_pad), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((9, co, nblk * slot), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, co), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -193,8 +213,8 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((d_out, h_out_pad, co, wp),
                                            x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, th + 2, ci_pad, wq), x.dtype),
-                pltpu.VMEM((3, th + 2, 3 * ci_pad, wp), x.dtype),
+                pltpu.VMEM((2, 3, th + 2, ci_e, wq), x.dtype),
+                pltpu.VMEM((3, th + 2, nblk * slot, wp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

@@ -1,28 +1,38 @@
 """Per-component timing of the BENCH configuration on the real TPU chip.
 
-Times the full eval forward and each pipeline piece in its bench.py
-configuration (pallas warp multi, pallas U-Net convs, bf16) so the
-sum-of-parts vs whole gap exposes boundary/layout overhead. Developer tool.
+Each part is timed IN-JIT (a lax.scan of REPS invocations with an input
+perturbation to defeat CSE) — a standalone jit call through the axon tunnel
+costs ~6.5 ms of dispatch, which used to inflate every per-part number.
+Developer tool.
 """
 import time
 
 import jax
 import jax.numpy as jnp
 
-
-def sync(x):
-    # axon block_until_ready can return early; force D2H
-    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+REPS = 8
 
 
-def timeit(fn, *args, iters=6):
-    out = fn(*args)
-    sync(out)
+def timeit_injit(fn, perturb_arg, *args, reps=REPS):
+    """Time fn(*args) averaged over an in-jit scan; ``perturb_arg`` is the
+    index of the array argument to perturb per step (defeats CSE/LICM)."""
+    @jax.jit
+    def many(*a):
+        def body(c, _):
+            aa = list(a)
+            aa[perturb_arg] = aa[perturb_arg] + c.astype(aa[perturb_arg].dtype)
+            out = fn(*aa)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.float32(1e-30) * leaf.astype(jnp.float32).ravel()[0], ()
+        y, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return y
+
+    out = many(*args)
+    _ = float(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    out = many(*args)
+    _ = float(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -34,7 +44,7 @@ def main():
     from mdfnet_tpu.models.refine import RefineNet2
     from mdfnet_tpu.models.regularize import RegularNet3Scales, RegularNet4Scales
     from mdfnet_tpu.ops.fitting import refined_hypotheses, uniform_hypotheses
-    from mdfnet_tpu.ops.regress import confidence_regression, depth_regression
+    from mdfnet_tpu.ops.regress import confidence_regression
     from mdfnet_tpu.ops.sample import resize_nearest_2x
     from mdfnet_tpu import geometry
 
@@ -45,7 +55,7 @@ def main():
 
     print("=== full forward (bench config) ===", flush=True)
     model = build_model(ModelConfig(compute_dtype="bfloat16",
-                                    warp_impl="pallas", pallas_conv=True))
+                                    warp_impl="fused", pallas_conv=True))
     scene = make_plane_scene(height=H, width=W, nviews=V,
                              plane_depth=650.0, tilt=0.05)
     batch = make_batch(scene, batch=1)
@@ -53,8 +63,8 @@ def main():
             jnp.asarray(batch["intrinsics"]), jnp.asarray(batch["depth_range"]))
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), *args,
                                            train=False))()
-    fwd = jax.jit(lambda *a: model.apply(variables, *a, train=False))
-    t_full = timeit(fwd, *args)
+    t_full = timeit_injit(
+        lambda *a: model.apply(variables, *a, train=False), 0, *args)
     print(f"FULL forward: {t_full*1000:.1f} ms = {1/t_full:.2f} maps/s",
           flush=True)
 
@@ -62,9 +72,9 @@ def main():
     backbone = FPN4Scales(dtype=dtype, pallas_eval=True)
     imgs = jax.random.uniform(rng, (B * V, H, W, 3), dtype)
     bb_vars = backbone.init(rng, imgs)
-    bb = jax.jit(lambda v, x: backbone.apply(v, x))
-    t = timeit(bb, bb_vars, imgs)
+    t = timeit_injit(lambda x: backbone.apply(bb_vars, x), 0, imgs)
     print(f"backbone stacked x{V}: {t*1000:.1f} ms", flush=True)
+    total_parts = t
 
     intr = jnp.tile(jnp.array([[1000.0, 0, W / 2], [0, 1000.0, H / 2],
                                [0, 0, 1]], jnp.float32), (B, V, 1, 1))
@@ -77,7 +87,6 @@ def main():
         (4, 24, 32, 16),
         (2, 8, 16, 8),
     ]
-    total_parts = t
     for s, (div, d, c, g) in enumerate(stage_cfg):
         h, w = H // div, W // div
         feats = [jax.random.uniform(jax.random.fold_in(rng, v),
@@ -90,27 +99,26 @@ def main():
                 jnp.linspace(500, 700, d)[None, :, None, None],
                 (B, d, h, w)).astype(jnp.float32)
 
-        # fused rowsweep warp+aggregate (the bench config): hcw pair diffs
         hcw_diffs = [jnp.transpose(f[..., 0::2] - f[..., 1::2], (0, 2, 3, 1))
                      for f in feats]  # (B, H, G, W)
         agg = VectorAggregate(g, dtype=dtype, warp_impl="fused")
         agg_vars = agg.init(rng, feats, ref_proj, src_projs, hypos,
                             False, hcw_diffs)
-        agg_apply = jax.jit(
-            lambda v, f, rp, sp, hy, pd: agg.apply(v, f, rp, sp, hy,
-                                                   False, pd))
-        t = timeit(agg_apply, agg_vars, feats, ref_proj, src_projs, hypos,
-                   hcw_diffs)
+        t = timeit_injit(
+            lambda pd0, *pd: agg.apply(agg_vars, feats, ref_proj, src_projs,
+                                       hypos, False, [pd0] + list(pd)),
+            0, *hcw_diffs)
         print(f"stage{s} aggregate (fused rowsweep): {t*1000:.1f} ms",
               flush=True)
         total_parts += t
 
-        vol = jax.random.uniform(rng, (B, d, h, g, -(-w // 128) * 128), dtype)
+        wpad = -(-w // 128) * 128
+        vol = jax.random.uniform(rng, (B, d, h, g, wpad), dtype)
         reg = (RegularNet3Scales(16, dtype=dtype, pallas_eval=True) if s == 0
                else RegularNet4Scales(8, dtype=dtype, pallas_eval=True))
         reg_vars = reg.init(rng, vol[..., :w].transpose(0, 1, 2, 4, 3))
-        reg_apply = jax.jit(lambda v, x: reg.apply(v, x[..., :w], dhcw=True))
-        t = timeit(reg_apply, reg_vars, vol)
+        t = timeit_injit(lambda x: reg.apply(reg_vars, x[..., :w], dhcw=True),
+                         0, vol)
         print(f"stage{s} U-Net pallas dhcw ({d}x{h}x{w}x{g}): {t*1000:.1f} ms",
               flush=True)
         total_parts += t
@@ -125,26 +133,26 @@ def main():
                 jnp.linspace(425, 935, pd)[None, :, None, None],
                 (B, pd, ph, pw)).astype(jnp.float32)
             curve = "gauss1" if s == 1 else "laplace"
-            fit = jax.jit(lambda de, dr, pv, hy, _d=d, _c=curve,
-                          _p=(0.95 if s == 1 else 1e-5): refined_hypotheses(
-                de, dr, pv, hy, ndepths=_d, curve_class=_c,
-                prob_thresh=_p, upsample=True))
-            t = timeit(fit, depth, drange, prob, prev_hypos)
+            t = timeit_injit(
+                lambda de, pv: refined_hypotheses(
+                    de, drange, pv, prev_hypos, ndepths=d, curve_class=curve,
+                    prob_thresh=(0.95 if s == 1 else 1e-5), upsample=True),
+                1, depth, prob)
             print(f"stage{s} fitting ({curve}): {t*1000:.1f} ms", flush=True)
             total_parts += t
 
     refine = RefineNet2(dtype=dtype, pallas_eval=True)
     half_depth = jnp.full((B, H // 2, W // 2), 600.0)
     rf_vars = refine.init(rng, half_depth, drange)
-    rf = jax.jit(lambda v, de, r: refine.apply(v, de, r))
-    t = timeit(rf, rf_vars, half_depth, drange)
+    t = timeit_injit(lambda de: refine.apply(rf_vars, de, drange), 0,
+                     half_depth)
     print(f"refine: {t*1000:.1f} ms", flush=True)
     total_parts += t
 
     prob2 = jax.nn.softmax(jax.random.uniform(rng, (B, 8, H // 2, W // 2)),
                            axis=1)
-    conf = jax.jit(lambda p: resize_nearest_2x(confidence_regression(p)))
-    t = timeit(conf, prob2)
+    t = timeit_injit(lambda p: resize_nearest_2x(confidence_regression(p)),
+                     0, prob2)
     print(f"confidence+upsample: {t*1000:.1f} ms", flush=True)
     total_parts += t
 
