@@ -39,13 +39,14 @@ from mdfnet_tpu import geometry
 
 
 def _rowsweep_kernel(ystart_ref,          # scalar prefetch (Hseg, S) i32
+                     xblk_ref,            # scalar prefetch (Hseg, S*D*NB) i32
                      q_ref,               # (1, C, Wp) block @ row
                      xs_ref, ys_ref,      # (1, 1, D, Wp) blocks @ (src, row)
                      k0_ref,              # (1, C) f32
                      sc_ref,              # (1, 128) f32 [bn_s, bn_o, k1, b1]
                      diffs_ref,           # (S, H, C, Wp) ANY/HBM
                      out_ref,             # (D, 1, C, Wp) block @ row
-                     window, vol, wsum, sems,
+                     window, vol, wsum, blend_buf, sems,
                      *, n_src: int, k_win: int, nd: int):
     r = pl.program_id(0)
     s = pl.program_id(1)
@@ -87,19 +88,33 @@ def _rowsweep_kernel(ystart_ref,          # scalar prefetch (Hseg, S) i32
 
     kiota = jax.lax.broadcasted_iota(jnp.int32, (k_win, wp), 0) \
         .astype(jnp.float32)
-    jiota = jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 0) \
+    biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
         .astype(jnp.float32)
+    nb = wp // 128
 
     for d in range(nd):
         ysd = ys_ref[0, 0, d].astype(jnp.float32)     # (Wp,)
         xsd = xs_ref[0, 0, d].astype(jnp.float32)
         ky = jnp.maximum(0.0, 1.0 - jnp.abs(ysd[None, :] - (kiota + y0)))
-        blended = jnp.sum(win * ky[:, None, :], axis=0)      # (C, Wp) f32
-        kx = jnp.maximum(0.0, 1.0 - jnp.abs(xsd[None, :] - jiota))
-        warped = jax.lax.dot_general(                         # (C, Wp) f32
-            blended.astype(jnp.bfloat16), kx.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        blend_buf[...] = jnp.sum(win * ky[:, None, :], axis=0)  # (C, Wp) f32
+        # x-interp per 128-col output block against a 256-col source window
+        # at a 128-ALIGNED precomputed offset — the tent matrix is band
+        # sparse, so the dense (Wp, Wp) build + matmul wasted O(W^2) VPU and
+        # MXU per plane. Aligned dynamic lane slices are Mosaic-legal.
+        cols = []
+        for b in range(nb):
+            start = xblk_ref[r, (s * nd + d) * nb + b] * 128
+            startm = pl.multiple_of(start, 128)
+            src_win = blend_buf[:, pl.ds(startm, 256)]       # (C, 256)
+            xb = xsd[b * 128:(b + 1) * 128]                  # (128,)
+            kx = jnp.maximum(
+                0.0, 1.0 - jnp.abs(xb[None, :]
+                                   - (biota + start.astype(jnp.float32))))
+            cols.append(jax.lax.dot_general(
+                src_win.astype(jnp.bfloat16), kx.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        warped = jnp.concatenate(cols, axis=1)               # (C, Wp) f32
         p = jax.nn.sigmoid(warped)
         sim = p * q + (1.0 - p) * (1.0 - q)                   # (C, Wp)
         sfield = jnp.sum(sim * k0[:, None], axis=0)           # (Wp,)
@@ -154,6 +169,28 @@ def _window_starts(ys, h, w, k_win):
     return jnp.transpose(start), cover  # (H, S)
 
 
+def _x_block_starts(xs, w):
+    """Per (row, src, plane, out-block) 128-aligned source-window start
+    block for the banded x-interp, plus the coverage flag (every in-image
+    tap of an out block inside its 256-col window). xs: (S, H, D, Wp)."""
+    wp = xs.shape[-1]
+    nb = wp // 128
+    xsb = xs.reshape(xs.shape[:-1] + (nb, 128))
+    valid = (xsb > -1.0) & (xsb < w)
+    big = jnp.float32(1e9)
+    xmin = jnp.min(jnp.where(valid, xsb, big), axis=-1)
+    xmax = jnp.max(jnp.where(valid, xsb, -big), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    start = jnp.floor(jnp.maximum(xmin, 0.0) / 128.0).astype(jnp.int32)
+    start = jnp.clip(jnp.where(any_valid, start, 0), 0, max(nb - 2, 0))
+    hi_tap = jnp.minimum(jnp.floor(xmax) + 1.0, w - 1.0)
+    cover = jnp.all(jnp.where(
+        any_valid, hi_tap <= start.astype(jnp.float32) * 128.0 + 255.0, True))
+    h = start.shape[1]
+    flat = jnp.transpose(start, (1, 0, 2, 3)).reshape(h, -1)
+    return flat, cover  # (H, S*D*NB) — flat so the SMEM copy isn't lane-padded
+
+
 @functools.partial(jax.jit, static_argnames=("k_win", "row_seg", "interpret"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
@@ -184,8 +221,11 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         hypos = jnp.broadcast_to(depth_hypos, (nd, 1, 1))
     else:
         hypos = depth_hypos
+    if wp < 256:
+        wp = 256  # the banded x-interp needs a 256-col source window
     xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
     ystart, _ = _window_starts(ys.transpose(0, 2, 1, 3), h, w, k_win)
+    xblk, _ = _x_block_starts(xs, w)
 
     diffs_p = jnp.pad(diffs, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     q_p = jnp.pad(q, ((0, 0), (0, 0), (0, wp - w)),
@@ -201,7 +241,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     def run_rows(r0, r1):
         rows = r1 - r0
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(rows, n_src),
             in_specs=[
                 pl.BlockSpec((1, c, wp), lambda r, s, *_: (r0 + r, 0, 0),
@@ -225,6 +265,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                 pltpu.VMEM((2, k_win, c, wp), diffs.dtype),
                 pltpu.VMEM((nd, c, wp), jnp.float32),
                 pltpu.VMEM((nd, 1, wp), jnp.float32),
+                pltpu.VMEM((c, wp), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -233,7 +274,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nd, rows, c, wp), diffs.dtype),
             interpret=interpret,
-        )(ystart[r0:r1], q_p, xs, ys, k0_2, scalars, diffs_p)
+        )(ystart[r0:r1], xblk[r0:r1], q_p, xs, ys, k0_2, scalars, diffs_p)
 
     outs = [run_rows(r0, min(r0 + row_seg, h))
             for r0 in range(0, h, row_seg)]
@@ -242,12 +283,17 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
 
 def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,
                    k_win: int = 16) -> jnp.ndarray:
-    """Coverage flag for the rowsweep kernel's y-window contract (tests)."""
+    """Coverage flag for the rowsweep kernel's contracts (tests): the y
+    span of every row fits the k_win window AND every out block's in-image
+    x taps fit its 128-aligned 256-col source window."""
     nd = depth_hypos.shape[0]
     wp = -(-w // 128) * 128
+    if wp < 256:
+        wp = 256
     hypos = (jnp.broadcast_to(depth_hypos, (nd, 1, 1))
              if depth_hypos.shape[-1] == 1 else depth_hypos)
-    _, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
+    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
     _, cover = _window_starts(ys.transpose(0, 2, 1, 3), h, w,
                               min(k_win, h))
-    return cover
+    _, cover_x = _x_block_starts(xs, w)
+    return cover & cover_x
