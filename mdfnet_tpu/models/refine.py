@@ -113,14 +113,12 @@ class RefineNet2(nn.Module):
         # final 3x3 conv C->1 as 9 shifted channel contractions (no C=1
         # tensor; same trick as regularize.ProbConv)
         k = _ConvKernelParam((3, 3, c, 1), c * 9, name="conv2_1")()
-        kd = k.astype(dtype)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
-        out = jnp.zeros((b_, 2 * h2, 2 * w2), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = jax.lax.dynamic_slice(
-                    xp, (0, dy, 0, dx), (b_, 2 * h2, c, 2 * w2))
-                out = out + jnp.einsum("bhcw,c->bhw", tap, kd[dy, dx, :, 0],
-                                       preferred_element_type=jnp.float32)
+        # single fused kernel for the C->1 full-res conv: the 27-slice XLA
+        # tap loop re-read the (B, H, C, W) tensor 9x; conv2d_fused with
+        # Co=1 folds ~128 output rows into one matmul and emits (H, 1, W)
+        out = conv2d_fused(x, k.astype(dtype),
+                           jnp.ones((1,), jnp.float32),
+                           jnp.zeros((1,), jnp.float32), relu=False)
+        out = out[:, :, 0, :].astype(jnp.float32)    # (B, H, W)
         out = dmin[..., 0] + out * (dmax - dmin)[..., 0]
         return out.astype(depth.dtype)

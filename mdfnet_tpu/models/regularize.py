@@ -64,17 +64,22 @@ class ProbConv(nn.Module):
             return y[..., 0].astype(jnp.float32)
         out = jnp.zeros((b, d, h, w), jnp.float32)
         if dhcw:
-            xp = jnp.pad(x.astype(dtype),
-                         ((0, 0), (1, 1), (1, 1), (0, 0), (1, 1)))
-            for dz in range(3):
-                for dy in range(3):
-                    for dx in range(3):
-                        tap = jax.lax.dynamic_slice(
-                            xp, (0, dz, dy, 0, dx), (b, d, h, c, w))
-                        out = out + jnp.einsum(
-                            "bdhcw,c->bdhw", tap, k[dz, dy, dx, :, 0],
-                            preferred_element_type=jnp.float32)
-            return out
+            # one fused Co=1 conv2d per dz tap over D-shifted views (dim-0
+            # slices are cheap): the 27-slice XLA loop re-read the volume 9x
+            from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+            one = jnp.ones((1,), jnp.float32)
+            zero = jnp.zeros((1,), jnp.float32)
+            outs = []
+            for bi in range(b):
+                xp = jnp.pad(x[bi].astype(dtype),
+                             ((1, 1), (0, 0), (0, 0), (0, 0)))
+                acc = jnp.zeros((d, h, w), jnp.float32)
+                for dz in range(3):
+                    y = conv2d_fused(xp[dz:dz + d], k[dz], one, zero,
+                                     relu=False)
+                    acc = acc + y[:, :, 0, :].astype(jnp.float32)
+                outs.append(acc)
+            return jnp.stack(outs)
         from mdfnet_tpu.parallel import halo
         ctx = halo.current_ctx()
         if ctx is not None:
