@@ -153,7 +153,7 @@ def _conv_kernel_unstacked(
 
 @functools.partial(jax.jit, static_argnames=("th", "stride", "interpret"))
 def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
-                   offset: jnp.ndarray, *, th: int = 8, stride: int = 1,
+                   offset: jnp.ndarray, *, th: int = 16, stride: int = 1,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused conv3d (stride 1 or isotropic 2) + scale/offset + relu on
     (D, H, C, W) layout.
