@@ -163,9 +163,11 @@ class VectorAggregate(nn.Module):
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight",
                                  ngroups=g)
         impl = self.warp_impl
-        if train and impl in ("pallas", "fused"):
-            # these Pallas kernels have no autodiff rule; the dense path
-            # computes the identical warp with full differentiability
+        if train and impl == "fused":
+            # the fused rowsweep kernel has no autodiff rule; the dense path
+            # computes the identical warp with full differentiability.
+            # "pallas" is train-safe: homography_warp_pallas carries a
+            # custom VJP (dense tent-matmul transpose) for d(src_feat).
             impl = "dense"
         if spatial_ctx is not None:
             # spatial sharding: warp sources are all-gathered below and the
@@ -217,8 +219,11 @@ class VectorAggregate(nn.Module):
             ref_unit = _softmax_groups(ref_feat, g, cg)[:, None]
 
         warped_diffs = None
-        if cg == 2 and impl == "pallas":
-            # warp every src's diff features in ONE kernel launch
+        if cg == 2 and impl == "pallas" and not train:
+            # warp every src's diff features in ONE kernel launch (the
+            # multi-src kernel has no VJP; training takes the per-src
+            # homography_warp_pallas, whose custom VJP backprops through
+            # the dense tent-matmul transpose)
             from mdfnet_tpu.ops.pallas.warp_kernel import (
                 homography_warp_pallas_multi)
             diffs = [pair_diffs[v + 1] if pair_diffs is not None

@@ -238,14 +238,10 @@ def pallas_sample_2d_multi(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return samples[:, :, :t_total], cover
 
 
-def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
-                           ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
-                           *, x_tile: int = 512, y_window: int = 8,
-                           x_margin: int = 64,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Drop-in twin of ops.warp.homography_warp on the Pallas path.
-
-    Returns (B, D, H, W, C)."""
+def _homography_warp_pallas_impl(src_feat, src_proj, ref_proj, depth_hypos,
+                                 *, x_tile: int = 512, y_window: int = 8,
+                                 x_margin: int = 64,
+                                 interpret: bool = False) -> jnp.ndarray:
     b, h, w, c = src_feat.shape
     d = depth_hypos.shape[1]
 
@@ -263,6 +259,44 @@ def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                                       x_margin=x_margin, interpret=interpret)
         outs.append(samples.reshape(d, h, w, c))
     return jnp.stack(outs)
+
+
+@jax.custom_vjp
+def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
+                           ref_proj: jnp.ndarray,
+                           depth_hypos: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in twin of ops.warp.homography_warp on the Pallas path.
+
+    Differentiable: the custom VJP computes d(src_feat) through the dense
+    tent-matmul warp (ops/warp_dense.py — the transpose of a tent-kernel
+    matmul is another tent-kernel matmul), so ``warp_impl="pallas"`` also
+    accelerates the training forward instead of falling back. Coordinates
+    are stop_gradient'ed like the reference's no_grad hypotheses, so
+    projections/hypotheses carry no gradient.
+
+    Returns (B, D, H, W, C)."""
+    return _homography_warp_pallas_impl(src_feat, src_proj, ref_proj,
+                                        depth_hypos)
+
+
+def _hwp_fwd(src_feat, src_proj, ref_proj, depth_hypos):
+    out = _homography_warp_pallas_impl(src_feat, src_proj, ref_proj,
+                                       depth_hypos)
+    return out, (src_feat, src_proj, ref_proj, depth_hypos)
+
+
+def _hwp_bwd(res, g):
+    from mdfnet_tpu.ops.warp_dense import homography_warp_dense
+    src_feat, src_proj, ref_proj, depth_hypos = res
+    _, vjp_fn = jax.vjp(
+        lambda s: homography_warp_dense(s, src_proj, ref_proj, depth_hypos),
+        src_feat)
+    (d_src,) = vjp_fn(g)
+    return (d_src, jnp.zeros_like(src_proj), jnp.zeros_like(ref_proj),
+            jnp.zeros_like(depth_hypos))
+
+
+homography_warp_pallas.defvjp(_hwp_fwd, _hwp_bwd)
 
 
 def homography_warp_pallas_multi(src_feats: jnp.ndarray, src_projs: jnp.ndarray,
