@@ -93,3 +93,40 @@ def test_spatial_two_shards_bigger_image():
     out = spatial_eval_forward(model, variables, mesh, *args)
     rel = np.abs(np.asarray(out["depth"]) - np.asarray(ref["depth"])) / 510.0
     assert rel.max() < 1e-5, f"max rel depth err {rel.max()}"
+
+
+@pytest.mark.slow
+def test_run_eval_spatial_matches_unsharded(tmp_path):
+    """The eval loop's spatial=N path (what `cli.eval --spatial N` drives)
+    must write the same PFMs as the unsharded loop."""
+    import os
+    from mdfnet_tpu.data.datasets import DTUEvalDataset
+    from mdfnet_tpu.data.formats import read_pfm
+    from mdfnet_tpu.data.synthetic import write_dtu_eval_tree
+    from mdfnet_tpu.evaluate import run_eval
+
+    root = str(tmp_path / "root")
+    write_dtu_eval_tree(root, scans=(9,), nviews=4, height=64, width=96,
+                        baseline=4.0)
+    dataset = DTUEvalDataset(root, scans=[9], nviews=4, crop_height=64)
+
+    model = build_model(SMALL)
+    item = dataset[0]
+    args = (jnp.asarray(item["imgs"][None]),
+            jnp.asarray(item["extrinsics"][None]),
+            jnp.asarray(item["intrinsics"][None]),
+            jnp.asarray(item["depth_range"][None]))
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+
+    out_ref = str(tmp_path / "ref")
+    out_sp = str(tmp_path / "sp")
+    run_eval(model, variables, dataset, out_ref, log_fn=None)
+    run_eval(model, variables, dataset, out_sp, log_fn=None, spatial=2)
+
+    for v in range(4):
+        d_ref, _ = read_pfm(os.path.join(out_ref, "scan9", "depth_est",
+                                         f"{v:08d}.pfm"))
+        d_sp, _ = read_pfm(os.path.join(out_sp, "scan9", "depth_est",
+                                        f"{v:08d}.pfm"))
+        rel = np.abs(d_sp - d_ref) / 510.0
+        assert rel.max() < 1e-5, f"view {v}: max rel err {rel.max()}"
