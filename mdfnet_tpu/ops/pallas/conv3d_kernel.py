@@ -80,12 +80,12 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
 
 
 def _conv_kernel_unstacked(
-        x_ref,            # (Dp, Hp, ci_pad, Wq) ANY/HBM raw padded input
-        w_ref,            # (9, Co, 3*ci_pad) VMEM
+        x_ref,            # (Dp, Hp, ci_e, Wq) ANY/HBM raw padded input
+        w_ref,            # (3, Co, 3*nblk*sub) VMEM (dy-major; dz in K)
         scale_ref,        # (1, Co) VMEM f32
         offset_ref,       # (1, Co) VMEM f32
         out_ref,          # (1, Th, Co, Wp) VMEM block
-        slab, taps, sems,  # (2, 3, Th+2, ci_e, Wq), (3, Th+2, nblk*sub, Wp)
+        slab, taps, sems,  # (2, 3, Th+2, ci_e, Wq), (Th+2, 3*nblk*sub, Wp)
         *, th: int, gg: int, nblk: int):
     """Stride-1 path: raw slab DMA + in-VMEM lane-roll taps."""
     from mdfnet_tpu.ops.pallas.conv2d_kernel import _shift_lanes_left
@@ -118,7 +118,8 @@ def _conv_kernel_unstacked(
     ci_e = blk.shape[2]
     wp = taps.shape[-1]
 
-    sub = taps.shape[2] // nblk
+    z = taps.shape[1] // 3        # nblk*sub: one dz segment of K
+    sub = z // nblk
     for b in range(nblk):
         parts = []
         for t in range(gg):
@@ -133,7 +134,8 @@ def _conv_kernel_unstacked(
         if block.shape[2] < sub:
             block = jnp.pad(block, ((0, 0), (0, 0),
                                     (0, sub - block.shape[2]), (0, 0)))
-        taps[:, :, b * sub:(b + 1) * sub, :] = block
+        for dz in range(3):
+            taps[:, dz * z + b * sub:dz * z + (b + 1) * sub, :] = block[dz]
 
     scale = scale_ref[0]
     offset = offset_ref[0]
@@ -141,12 +143,12 @@ def _conv_kernel_unstacked(
 
     for hh in range(th):
         acc = jnp.zeros((co, wp), jnp.float32)
-        for dz in range(3):
-            for dy in range(3):
-                acc = acc + jax.lax.dot_general(
-                    w_ref[dz * 3 + dy], taps[dz, hh + dy],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        for dy in range(3):
+            # dz rides the contraction: one (Co, 3*Z) x (3*Z, Wp) matmul
+            acc = acc + jax.lax.dot_general(
+                w_ref[dy], taps[hh + dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
         out_ref[0, hh] = y.astype(out_ref.dtype)
 
@@ -187,11 +189,13 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         xq = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, ci_e - ci),
                          (128, wq - 128 - w)))
         k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
-        k9p = jnp.zeros((3, 3, co, nblk * slot), x.dtype)
-        for dx in range(3):
-            off = (dx // gg) * slot + (dx % gg) * ci_e
-            k9p = k9p.at[..., off:off + ci].set(k9[:, :, dx].astype(x.dtype))
-        k9p = k9p.reshape(9, co, nblk * slot)
+        z = nblk * slot
+        k3p = jnp.zeros((3, co, 3 * z), x.dtype)  # (dy, co, dz-major K)
+        for dz in range(3):
+            for dx in range(3):
+                off = dz * z + (dx // gg) * slot + (dx % gg) * ci_e
+                k3p = k3p.at[:, :, off:off + ci].set(
+                    k9[dz, :, dx].astype(x.dtype))
         scale2 = scale.reshape(1, co).astype(jnp.float32)
         offset2 = offset.reshape(1, co).astype(jnp.float32)
         kern = functools.partial(_conv_kernel_unstacked, th=th, gg=gg,
@@ -201,7 +205,8 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             grid=(d_out, h_out_pad // th),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((9, co, nblk * slot), lambda i, j: (0, 0, 0),
+                pl.BlockSpec((3, co, 3 * nblk * slot),
+                             lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, co), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -214,11 +219,11 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                                            x.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, 3, th + 2, ci_e, wq), x.dtype),
-                pltpu.VMEM((3, th + 2, nblk * slot, wp), x.dtype),
+                pltpu.VMEM((th + 2, 3 * nblk * slot, wp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(xq, k9p, scale2, offset2)
+        )(xq, k3p, scale2, offset2)
         return out[:, :h_out, :, :w_out]
 
     if True:
