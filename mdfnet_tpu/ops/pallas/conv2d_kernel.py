@@ -6,18 +6,19 @@ on the 128-lane axis (2-16x physical padding) and measures 0.4-2.6 TF/s on a
 v5e. This kernel keeps activations in (H, C, W) layout — C on sublanes, W on
 lanes — and fuses the epilogue (folded BN + ReLU, or bias) into the conv.
 
-MXU shape: a per-row matmul would be (Co, k*Ci) x (k*Ci, W) with M = Co as
-small as 8 — 6% of the systolic array's rows. Instead R = ~128/Co output
-ROWS are folded into the M axis: one (R*Co, rows*kCi) x (rows*kCi, W) matmul
-per row-block, where the folded weight is block-banded (row r's taps sit at
-input rows stride*r..stride*r+k-1). The zero blocks inflate FLOPs ~3-6x but
-lift MXU row utilisation ~16x for the small-Co layers — measured 10.2 ms ->
-~1 ms on the full-res 8->8 layer (5 views, 1184x1600, v5e).
-
-The dx taps are pre-shifted host-side into the sublane axis (Mosaic rejects
-unaligned lane slices), each grid step DMAs a double-buffered row slab, and
-the slab is viewed as a (rows*kCi, W) matrix (kCi padded to the sublane tile
-so the view is layout-clean).
+Design:
+- MXU shape: a per-row matmul would be (Co, k*Ci) x (k*Ci, W) with M = Co as
+  small as 8 — 6% of the systolic array's rows. R = ~128/Co output ROWS are
+  folded into the M axis: one (R*Co, rows*K) x (rows*K, W) matmul per
+  row-block with a block-banded folded weight (row r's taps sit at input
+  rows stride*r..stride*r+k-1).
+- Taps: each grid step DMAs ONE lane-aligned raw slab (double-buffered) and
+  forms the k dx-shifted tap planes in VMEM with 32-bit lane rolls (bf16
+  packs pairs along sublanes, so a uint32 roll shifts bf16 by exact lanes).
+  No pre-stacked k-fold HBM tensor. gg = tile/ci taps share one sublane
+  slot so small-ci layers pay no per-tap sublane padding.
+- Stride 2 reads two W-parity streams: tap j = stream (j-p) mod 2 shifted
+  floor((j-p)/2) lanes.
 
 Supported: kernel 1/3/5, stride 1 (kernel 1/3) or 2 (kernel 3/5), torch
 padding (k-1)//2. Eval-only (no autodiff rule).
@@ -31,51 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _conv2d_kernel(x_ref,        # (N, Hp, kCi, Wp) ANY/HBM (pre-stacked taps)
-                   w_ref,        # (R*Co, rows*kCi) VMEM folded weights
-                   scale_ref,    # (1, R*Co) VMEM f32
-                   offset_ref,   # (1, R*Co) VMEM f32
-                   out_ref,      # (1, R*Co, Wp) VMEM block
-                   slab, sems,   # scratch (2, rows, kCi, Wp), DMA sems
-                   *, r_fold: int, stride: int, k: int, relu: bool):
-    n = pl.program_id(0)
-    hb = pl.program_id(1)
-    n_hb = pl.num_programs(1)
-    total = pl.num_programs(0) * n_hb
-    rows = stride * r_fold + (k - stride)
-
-    def dma(slot, nn, hh):
-        return pltpu.make_async_copy(
-            x_ref.at[nn, pl.ds(hh * r_fold * stride, rows)],
-            slab.at[slot],
-            sems.at[slot],
-        )
-
-    i = n * n_hb + hb
-
-    @pl.when(i == 0)
-    def _():
-        dma(0, n, hb).start()
-
-    @pl.when(i + 1 < total)
-    def _():
-        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
-
-    dma(i % 2, n, hb).wait()
-    kci = slab.shape[2]
-    wp = slab.shape[3]
-    cur = slab[i % 2].reshape(rows * kci, wp)
-
-    acc = jax.lax.dot_general(
-        w_ref[...], cur,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (R*Co, Wp)
-    y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _shift_lanes_left(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -243,35 +199,6 @@ def _conv2d_kernel_s2(
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _stack_taps(x: jnp.ndarray, k: int, stride: int, h_out_pad: int,
-                wp: int) -> jnp.ndarray:
-    """Host-side tap pre-shift: (N, H, Ci, W) -> (N, Hp, k*Ci, Wp) where the
-    sublane axis holds the k dx-shifted (stride 1) or parity-decomposed
-    (stride 2) column taps, so in-kernel W-taps ride the matmul contraction.
-    """
-    n, h, ci, w = x.shape
-    p = (k - 1) // 2
-    if stride == 1:
-        hp = h_out_pad + k - 1
-        xp = jnp.pad(x, ((0, 0), (p, hp - h - p), (0, 0), (p, p + wp - w)))
-        return jnp.concatenate([xp[..., dx:dx + wp] for dx in range(k)],
-                               axis=2)
-    # stride 2: out column w reads in[2w + j - p] for j in [0, k);
-    # with xq = pad-left-p, index 2w + j: j even -> even stream at w + j//2,
-    # j odd -> odd stream at w + j//2.
-    h_rows = 2 * h_out_pad + (k - 2)  # rows the kernel slabs will touch
-    w_cols = 2 * wp + (k - 2)
-    xp = jnp.pad(x, ((0, 0), (p, max(h_rows - h - p, 0)), (0, 0),
-                     (p, max(w_cols - w - p, 0))))
-    even = xp[..., 0::2]
-    odd = xp[..., 1::2]
-    taps = []
-    for j in range(k):
-        src = even if j % 2 == 0 else odd
-        taps.append(src[..., j // 2:j // 2 + wp])
-    return jnp.concatenate(taps, axis=2)
-
-
 def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
                        stride: int, gg: int, sub: int,
                        ci_e: int) -> jnp.ndarray:
@@ -290,20 +217,6 @@ def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
                 w = w.at[r, :, stride * r + dy, off:off + ci].set(
                     kernel[dy, dx].T)
     return w.reshape(r_fold * co, rows * nblk * sub)
-
-
-def _fold_rows(kernel_kco: np.ndarray | jnp.ndarray, r_fold: int, k: int,
-               stride: int, kci_pad: int) -> jnp.ndarray:
-    """Build the block-banded folded weight (R*Co, rows*kci_pad) from the
-    per-dy tap weights (k, Co, kCi): output row r reads slab rows
-    stride*r + dy, dy in [0, k)."""
-    k_, co, kci = kernel_kco.shape
-    rows = stride * r_fold + (k - stride)
-    w = jnp.zeros((r_fold, co, rows, kci_pad), kernel_kco.dtype)
-    for r in range(r_fold):
-        for dy in range(k):
-            w = w.at[r, :, stride * r + dy, :kci].set(kernel_kco[dy])
-    return w.reshape(r_fold * co, rows * kci_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "stride", "relu",
