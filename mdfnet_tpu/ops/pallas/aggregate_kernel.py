@@ -196,7 +196,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
-                       row_seg: int = 256, interpret: bool = False
+                       row_seg: int = 1024, interpret: bool = False
                        ) -> jnp.ndarray:
     """Fused warp + aggregate for ONE batch item.
 
