@@ -115,8 +115,9 @@ def main(argv=None):
 
     stats = run_eval(model, variables, dataset, args.output, log_fn=log.info,
                      spatial=args.spatial)
-    log.info("done: %.3f s/view over %d views", stats["sec_per_view"],
-             stats["n_views"])
+    log.info("done: %.3f s/view device, %.3f s/view wall (incl. IO) over "
+             "%d views", stats["device_sec_per_view"],
+             stats["wall_sec_per_view"], stats["n_views"])
 
 
 if __name__ == "__main__":

@@ -48,41 +48,102 @@ def make_eval_step(model, variables, spatial: int = 1):
 def run_eval(model, variables, dataset, output_dir: str,
              batch_size: int = 1, log_fn=print,
              spatial: int = 1) -> Dict[str, float]:
-    """Evaluate every item, write outputs, return timing stats."""
+    """Evaluate every item, write outputs, return timing stats.
+
+    Two throughput numbers are reported (VERDICT r2 #8 — they measure
+    different things and must not be conflated):
+
+    - ``device_sec_per_view`` / ``device_views_per_sec``: pure device
+      forward + host transfer, bench.py-comparable;
+    - ``wall_sec_per_view``: end-to-end wall time per view including file
+      IO. PFM/PNG writes run on a single writer thread so the device works
+      on batch i+1 while batch i's files are written.
+    """
+    import queue
+    import threading
+
     from mdfnet_tpu.data.pipeline import BatchLoader
 
     eval_step = make_eval_step(model, variables, spatial=spatial)
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
                          num_workers=2)
 
+    write_q: "queue.Queue" = queue.Queue(maxsize=4)
+    write_err = []
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            filename, d, c = item
+            try:
+                depth_path = os.path.join(
+                    output_dir, filename.format("depth_est", ".pfm"))
+                png_path = os.path.join(
+                    output_dir, filename.format("depth_est", ".png"))
+                conf_path = os.path.join(
+                    output_dir, filename.format("confidence", ".pfm"))
+                ensure_dir(os.path.dirname(depth_path))
+                ensure_dir(os.path.dirname(conf_path))
+                write_pfm(depth_path, d)
+                write_depth_png(png_path, d)
+                write_pfm(conf_path, c)
+            except Exception as e:  # surfaced after the loop
+                write_err.append(e)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+
+    fallback_step = None
     n_views = 0
-    total_time = 0.0
+    device_time = 0.0
+    wall_start = None
     for i, batch in enumerate(loader):
         start = time.perf_counter()
-        out = eval_step(jnp.asarray(batch["imgs"]),
-                        jnp.asarray(batch["extrinsics"]),
-                        jnp.asarray(batch["intrinsics"]),
-                        jnp.asarray(batch["depth_range"]))
+        args = (jnp.asarray(batch["imgs"]),
+                jnp.asarray(batch["extrinsics"]),
+                jnp.asarray(batch["intrinsics"]),
+                jnp.asarray(batch["depth_range"]))
+        out = eval_step(*args)
+        if not bool(np.asarray(out.get("coverage_ok", True))):
+            # a fast-warp window contract was violated (pathological
+            # camera/depth-range) — this item's volume may be inexact.
+            # Re-run it on the guaranteed-exact gather warp.
+            if fallback_step is None:
+                exact = model.clone(warp_impl="gather")
+                fallback_step = make_eval_step(exact, variables,
+                                               spatial=spatial)
+            if log_fn:
+                log_fn(f"eval batch {i}: warp coverage contract violated; "
+                       "re-running on the exact gather path")
+            out = fallback_step(*args)
         depth = np.asarray(jax.device_get(out["depth"]))
         conf = np.asarray(jax.device_get(out["confidence"]))
         elapsed = time.perf_counter() - start
         if i > 0:  # skip compile step in throughput stats
-            total_time += elapsed
+            device_time += elapsed
             n_views += depth.shape[0]
+        else:
+            wall_start = time.perf_counter()
 
         for b, filename in enumerate(batch["filename"]):
-            depth_path = os.path.join(output_dir, filename.format("depth_est", ".pfm"))
-            png_path = os.path.join(output_dir, filename.format("depth_est", ".png"))
-            conf_path = os.path.join(output_dir, filename.format("confidence", ".pfm"))
-            ensure_dir(os.path.dirname(depth_path))
-            ensure_dir(os.path.dirname(conf_path))
-            write_pfm(depth_path, depth[b])
-            write_depth_png(png_path, depth[b])
-            write_pfm(conf_path, conf[b])
+            write_q.put((filename, depth[b], conf[b]))
         if log_fn and (i % 10 == 0):
             log_fn(f"eval {i + 1}/{len(loader)}  {elapsed:.3f}s/batch")
 
-    sec_per_view = total_time / max(n_views, 1)
-    return {"sec_per_view": sec_per_view,
-            "views_per_sec": (n_views / total_time) if total_time else 0.0,
+    wall_time = (time.perf_counter() - wall_start) if wall_start else 0.0
+    write_q.put(None)
+    wt.join()
+    if write_err:
+        raise write_err[0]
+
+    dev_spv = device_time / max(n_views, 1)
+    return {"device_sec_per_view": dev_spv,
+            "device_views_per_sec": (n_views / device_time)
+            if device_time else 0.0,
+            "wall_sec_per_view": wall_time / max(n_views, 1),
+            # back-compat aliases (device-side, as bench.py measures)
+            "sec_per_view": dev_spv,
+            "views_per_sec": (n_views / device_time) if device_time else 0.0,
             "n_views": n_views}

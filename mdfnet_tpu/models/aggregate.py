@@ -138,7 +138,9 @@ class VectorAggregate(nn.Module):
 
     @nn.compact
     def __call__(self, features, ref_proj, src_projs, depth_hypos,
-                 train: bool = False, pair_diffs=None):
+                 train: bool = False, pair_diffs=None,
+                 with_cover: bool = False, valid_w: int | None = None,
+                 keep_wpad: bool = False):
         """
         Args:
             features: list of (B, H, W, C) per-view features, ref first.
@@ -150,9 +152,14 @@ class VectorAggregate(nn.Module):
                 stacked backbone output — one sliced subtraction for all views
                 instead of V separate ones. For warp_impl="fused": REQUIRED,
                 in (B, H, G, W) layout.
+            with_cover: also return the warp coverage flag — True iff the
+                fast warp's window contracts held and the volume is exact
+                (always True on the gather path). Callers re-run violating
+                items on the exact path; see CoreNet / evaluate.run_eval.
         Returns:
             (B, D, H, W, G) aggregated cost volume; for warp_impl="fused":
             (B, D, H, G, W) — the layout the Pallas U-Net consumes directly.
+            With ``with_cover``: (volume, cover () bool).
         """
         from mdfnet_tpu.parallel import halo
         spatial_ctx = halo.current_ctx()
@@ -178,22 +185,36 @@ class VectorAggregate(nn.Module):
             from mdfnet_tpu.ops.pallas.aggregate_kernel import (
                 rowsweep_aggregate)
             assert pair_diffs is not None, "fused path needs hcw pair_diffs"
-            b, h, _, w = pair_diffs[0].shape
+            b, h, _, w_in = pair_diffs[0].shape
+            vw = valid_w or w_in
             k0, bn_s, bn_o, k1, b1 = weight_net(None, train=False,
                                                 fold_params=True)
             q = nn.sigmoid(pair_diffs[0])
             diffs = jnp.stack(pair_diffs[1:], axis=1)  # (B, S, H, G, W)
-            outs = [rowsweep_aggregate(diffs[bi], q[bi], src_projs[bi],
-                                       ref_proj[bi], depth_hypos[bi],
-                                       k0, bn_s, bn_o, k1, b1)
-                    for bi in range(b)]
-            return jnp.stack(outs)[..., :w]  # (B, D, H, G, W)
+            outs, covers = zip(*[
+                rowsweep_aggregate(diffs[bi], q[bi], src_projs[bi],
+                                   ref_proj[bi], depth_hypos[bi],
+                                   k0, bn_s, bn_o, k1, b1, valid_w=vw)
+                for bi in range(b)])
+            vol = jnp.stack(outs)  # (B, D, H, G, Wp)
+            if not keep_wpad:
+                vol = vol[..., :vw]
+            if with_cover:
+                return vol, jnp.all(jnp.stack(covers))
+            return vol
 
         b, h, w, c = ref_feat.shape
         cg = c // g
-        warp = {"dense": homography_warp_dense,
-                "pallas": homography_warp_pallas,
-                "gather": homography_warp}[impl]
+        covers = []  # dense-path exactness flags (gather/pallas: exact/unchecked)
+        if impl == "dense":
+            def warp(f, sp, rp, hy, **kw):
+                out, cov = homography_warp_dense(f, sp, rp, hy,
+                                                 with_cover=True, **kw)
+                covers.append(cov)
+                return out
+        else:
+            warp = {"pallas": homography_warp_pallas,
+                    "gather": homography_warp}[impl]
         if spatial_ctx is not None:
             # the warp needs global source rows (epipolar lines cross band
             # boundaries): gather the small 2D features, keep the big 3D
@@ -254,7 +275,12 @@ class VectorAggregate(nn.Module):
             weight_sum = weight_sum + wgt
             volume_sum = volume_sum + wgt[..., None] * sim
 
-        return volume_sum / weight_sum[..., None]
+        vol = volume_sum / weight_sum[..., None]
+        if with_cover:
+            cover = (jnp.all(jnp.stack(covers)) if covers
+                     else jnp.asarray(True))
+            return vol, cover
+        return vol
 
 
 def _softmax_groups(x: jnp.ndarray, groups: int, group_ch: int) -> jnp.ndarray:

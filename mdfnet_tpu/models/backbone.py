@@ -26,11 +26,33 @@ from mdfnet_tpu.models.layers import (
 from mdfnet_tpu.ops.sample import resize_bilinear_2x
 
 
+class _CBRParams(nn.Module):
+    """ConvBNReLU-compatible param/stat holder: declares the same
+    name/conv/kernel + name/bn/{scale,bias} (+ batch_stats) tree so the
+    chain-fused trunk shares checkpoints with the per-layer modules."""
+    features: int
+    kernel_size: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        from mdfnet_tpu.models.layers import _BNParams, _ConvKernelParam
+        ks, ci = self.kernel_size, self.in_ch
+        kernel = _ConvKernelParam((ks, ks, ci, self.features), ci * ks * ks,
+                                  name="conv")()
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        return kernel, scale, bias, mean, var
+
+
 class FPN4Scales(nn.Module):
     out_chs: Tuple[int, int, int, int] = (8, 16, 32, 64)
     dtype: jnp.dtype | None = None
     # eval-only (N, H, C, W) Pallas trunk; outputs come back in that layout
     pallas_eval: bool = False
+    # emit outputs at their 128-aligned lane extent with ZEROED pad columns
+    # (for the fused rowsweep consumer: zero features == grid_sample zeros,
+    # so the aggregate kernel skips its host-side pad copies)
+    keep_wpad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,7 +85,8 @@ class FPN4Scales(nn.Module):
 
         return y4, y3, y2
 
-    def _conv1x1_hcw(self, v, features: int, name: str, use_bias: bool):
+    def _conv1x1_hcw(self, v, features: int, name: str, use_bias: bool,
+                     valid_w: int | None = None, keep_wpad: bool = False):
         """1x1 conv on (N, H, C, W) with ConvND-compatible param paths."""
         from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
         ci = v.shape[2]
@@ -74,48 +97,103 @@ class FPN4Scales(nn.Module):
         dtype = self.dtype or v.dtype
         return conv2d_fused(v, kernel.astype(dtype),
                             jnp.ones((features,), jnp.float32), offset,
-                            relu=False)
+                            relu=False, valid_w=valid_w, keep_wpad=keep_wpad)
+
+    def _chain(self, names_feats_ks, inp, logical_ci: int | None = None,
+               valid_w: int | None = None, keep_wpad: bool = False):
+        """Consecutive same-resolution stride-1 ConvBNReLUs as ONE fused
+        Pallas pass (ops/pallas/conv2d_kernel.py conv2d_chain_fused):
+        intermediates never touch HBM. Parameter paths stay identical to
+        the per-layer modules, so checkpoints/.pth import are unaffected."""
+        from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_chain_fused
+        dtype = self.dtype or inp.dtype
+        kernels, scales, offsets = [], [], []
+        cis = logical_ci or inp.shape[2]
+        for name, feats, ks in names_feats_ks:
+            kernel, scale, bias, mean, var = _CBRParams(
+                feats, ks, cis, name=name)()
+            if cis != inp.shape[2] and not kernels:
+                # input was channel-padded for DMA alignment; the padded
+                # channels are zero, so zero kernel rows match exactly
+                kernel = jnp.pad(kernel, ((0, 0), (0, 0),
+                                          (0, inp.shape[2] - cis), (0, 0)))
+            fs = scale.astype(jnp.float32) * jax.lax.rsqrt(
+                var.astype(jnp.float32) + 1e-5)
+            fo = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fs
+            kernels.append(kernel.astype(dtype))
+            scales.append(fs)
+            offsets.append(fo)
+            cis = feats
+        return conv2d_chain_fused(inp.astype(dtype), kernels, scales,
+                                  offsets, valid_w=valid_w,
+                                  keep_wpad=keep_wpad)
 
     def _hcw_path(self, x):
         c0, c1, c2, c3 = self.out_chs
         dtype = self.dtype or x.dtype
-        v = jnp.transpose(x, (0, 1, 3, 2)).astype(dtype)  # (N, H, 3, W)
+        # channels + lanes padded to the DMA-aligned extents ONCE on the
+        # cheap raw image; every downstream tensor then flows through the
+        # fused kernels at its 128-aligned lane width (keep_wpad) with the
+        # true width tracked as valid_w — no per-layer host pad copies
+        align = 4 if dtype == jnp.bfloat16 else 8
+        w0 = x.shape[2]
+        w1 = -(-w0 // 2)
+        w2 = -(-w1 // 2)
+        w3 = -(-w2 // 2)
+        wps = {w: -(-w // 128) * 128 for w in (w0, w1, w2, w3)}
+        v = jnp.transpose(x, (0, 1, 3, 2)).astype(dtype)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, align - v.shape[2]),
+                        (0, wps[w0] - w0)))
 
-        def cbr(name, feats, ks, stride, inp):
+        def cbr(name, feats, ks, stride, inp, vw):
             return ConvBNReLU(feats, ks, stride, dtype=self.dtype,
-                              name=name)(inp, False, hcw=True)
+                              name=name)(inp, False, hcw=True, valid_w=vw,
+                                         keep_wpad=True)
 
-        v = cbr("conv01_0", c0, 3, 1, v)
-        v = cbr("conv01_1", c0, 3, 1, v)
-        v = cbr("conv12_0", c1, 5, 2, v)
-        v = cbr("conv12_1", c1, 3, 1, v)
-        x2 = cbr("conv12_2", c1, 3, 1, v)
-        v = cbr("conv23_0", c2, 5, 2, x2)
-        v = cbr("conv23_1", c2, 3, 1, v)
-        x3 = cbr("conv23_2", c2, 3, 1, v)
-        v = cbr("conv34_0", c3, 5, 2, x3)
-        v = cbr("conv34_1", c3, 3, 1, v)
-        x4 = cbr("conv34_2", c3, 3, 1, v)
+        v = self._chain([("conv01_0", c0, 3), ("conv01_1", c0, 3)], v,
+                        logical_ci=x.shape[3], valid_w=w0, keep_wpad=True)
+        v = cbr("conv12_0", c1, 5, 2, v, w0)
+        x2 = self._chain([("conv12_1", c1, 3), ("conv12_2", c1, 3)], v,
+                         valid_w=w1, keep_wpad=True)
+        v = cbr("conv23_0", c2, 5, 2, x2, w1)
+        x3 = self._chain([("conv23_1", c2, 3), ("conv23_2", c2, 3)], v,
+                         valid_w=w2, keep_wpad=True)
+        v = cbr("conv34_0", c3, 5, 2, x3, w2)
+        x4 = self._chain([("conv34_1", c3, 3), ("conv34_2", c3, 3)], v,
+                         valid_w=w3, keep_wpad=True)
 
-        def _up2_axis(v, axis):
+        def _up2_axis(v, axis, vw=None):
             # 2x bilinear along one axis (0.25/0.75 half-pixel stencil,
-            # edge-replicated) without transposing to put it last
+            # edge-replicated) without transposing to put it last. With a
+            # junk-padded lane extent, the true right edge (col vw-1) must
+            # replicate itself instead of reading the junk column.
             n = v.shape[axis]
             sl = lambda a, b: jax.lax.slice_in_dim(v, a, b, axis=axis)
             left = jnp.concatenate([sl(0, 1), sl(0, n - 1)], axis=axis)
             right = jnp.concatenate([sl(1, n), sl(n - 1, n)], axis=axis)
+            if vw is not None and vw < n:
+                iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+                right = jnp.where(iota == vw - 1, v, right)
             even = 0.75 * v + 0.25 * left
             odd = 0.75 * v + 0.25 * right
             out = jnp.stack([even, odd], axis=axis + 1)
             return out.reshape(v.shape[:axis] + (2 * n,)
                                + v.shape[axis + 1:])
 
-        def up2(v):  # (N, H, C, W): upsample axes 1 and 3
-            return _up2_axis(_up2_axis(v, 1), 3)
+        def up2(v, vw):  # (N, H, C, W): upsample axes 1 and 3
+            return _up2_axis(_up2_axis(v, 1), 3, vw)
 
-        y4 = self._conv1x1_hcw(x4, c3, "out4", use_bias=False)
-        x3 = up2(x4) + self._conv1x1_hcw(x3, c3, "lat3", use_bias=True)
-        y3 = self._conv1x1_hcw(x3, c2, "out3", use_bias=False)
-        x2 = up2(x3) + self._conv1x1_hcw(x2, c3, "lat2", use_bias=True)
-        y2 = self._conv1x1_hcw(x2, c1, "out2", use_bias=False)
+        kw = self.keep_wpad
+        y4 = self._conv1x1_hcw(x4, c3, "out4", use_bias=False, valid_w=w3,
+                               keep_wpad=kw)
+        lat3 = self._conv1x1_hcw(x3, c3, "lat3", use_bias=True, valid_w=w2,
+                                 keep_wpad=True)
+        x3s = up2(x4, w3)[:, :, :, :wps[w2]] + lat3
+        y3 = self._conv1x1_hcw(x3s, c2, "out3", use_bias=False, valid_w=w2,
+                               keep_wpad=kw)
+        lat2 = self._conv1x1_hcw(x2, c3, "lat2", use_bias=True, valid_w=w1,
+                                 keep_wpad=True)
+        x2s = up2(x3s, w2)[:, :, :, :wps[w1]] + lat2
+        y2 = self._conv1x1_hcw(x2s, c1, "out2", use_bias=False, valid_w=w1,
+                               keep_wpad=kw)
         return y4, y3, y2

@@ -80,8 +80,10 @@ class CoreNet(nn.Module):
                    if use_remat else RegularNet3Scales)
         Reg4Cls = (nn.remat(RegularNet4Scales, static_argnums=(2, 3))
                    if use_remat else RegularNet4Scales)
+        fused_pallas = self.pallas_conv and self.warp_impl == "fused"
         backbone = BackboneCls(self.chs, dtype=self.dtype,
-                               pallas_eval=self.pallas_conv, name="backbone")
+                               pallas_eval=self.pallas_conv,
+                               keep_wpad=fused_pallas, name="backbone")
         aggregates = [AggregateCls(self.ngroups[s], dtype=self.dtype,
                                    warp_impl=self.warp_impl,
                                    name=f"aggregate{s}") for s in range(nstages)]
@@ -136,6 +138,11 @@ class CoreNet(nn.Module):
         depth_hypos = None
         prob_volume = None
         depths = []
+        covers = []
+        w2 = -(-imgs.shape[3] // 2)
+        w4 = -(-w2 // 2)
+        w8 = -(-w4 // 2)
+        stage_w = [w8, w4, w2]
         for stage in range(nstages):
             stage_feats = [f[stage] for f in features]
             ref_proj, src_projs = geometry.projection_matrices(
@@ -160,16 +167,27 @@ class CoreNet(nn.Module):
                 if fused and not self.pallas_conv:
                     # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
                     diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
-            cost_volume = aggregates[stage](stage_feats, ref_proj, src_projs,
-                                            depth_hypos, train, diffs)
+            if train:
+                cost_volume = aggregates[stage](stage_feats, ref_proj,
+                                                src_projs, depth_hypos,
+                                                train, diffs)
+            else:
+                # under the fully-fused pallas path the volume stays at its
+                # 128-aligned lane extent (junk columns zeroed) end to end —
+                # no host-side pad/slice copies between kernels
+                vw = stage_w[stage] if (fused and self.pallas_conv) else None
+                cost_volume, cover = aggregates[stage](
+                    stage_feats, ref_proj, src_projs, depth_hypos, train,
+                    diffs, True, vw, fused and self.pallas_conv)
+                covers.append(cover)
             # fused aggregation emits (B, D, h, g, w) — with the Pallas
             # U-Nets it runs layout-through with zero transposes; without,
             # convert back to channels-last
             if fused and not self.pallas_conv:
                 cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
             prob_volume = regulars[stage](
-                cost_volume, train,
-                fused and self.pallas_conv)  # (B, D, h, w) f32
+                cost_volume, train, fused and self.pallas_conv,
+                None if train else vw)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
 
@@ -181,4 +199,11 @@ class CoreNet(nn.Module):
 
         confidence = confidence_regression(prob_volume)
         confidence = resize_nearest_2x(confidence)
-        return {"depth": depth, "confidence": confidence}
+        # True iff every stage's fast-warp window contracts held — i.e. the
+        # depth map is exact. On False, re-run the item with
+        # warp_impl="gather" (evaluate.run_eval does this automatically);
+        # the reference's warp has no such contract to break
+        # (net/unit/base.py:85-126 samples unconditionally).
+        coverage_ok = jnp.all(jnp.stack(covers))
+        return {"depth": depth, "confidence": confidence,
+                "coverage_ok": coverage_ok}

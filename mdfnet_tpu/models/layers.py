@@ -247,17 +247,18 @@ class ConvBNReLU(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, hcw: bool = False):
+    def __call__(self, x, train: bool = False, hcw: bool = False,
+                 valid_w: int | None = None, keep_wpad: bool = False):
         if hcw:
             assert not train, "hcw fast path is eval-only"
-            return self._hcw_path(x)
+            return self._hcw_path(x, valid_w, keep_wpad)
         x = ConvND(self.features, (self.kernel_size,) * 2, self.strides,
                    (self.kernel_size - 1) // 2, use_bias=False, dtype=self.dtype,
                    name="conv")(x)
         x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
 
-    def _hcw_path(self, x):
+    def _hcw_path(self, x, valid_w=None, keep_wpad=False):
         from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
         ci = x.shape[2]
         ks = self.kernel_size
@@ -269,7 +270,8 @@ class ConvBNReLU(nn.Module):
         foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
         dtype = self.dtype or x.dtype
         return conv2d_fused(x.astype(dtype), kernel.astype(dtype), fscale,
-                            foffset, stride=self.strides, relu=True)
+                            foffset, stride=self.strides, relu=True,
+                            valid_w=valid_w, keep_wpad=keep_wpad)
 
 
 class ConvBNReLU3D(nn.Module):
@@ -291,13 +293,14 @@ class ConvBNReLU3D(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dhcw: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False,
+                 valid_w: int | None = None, keep_wpad: bool = False):
         if self.pallas_eval and not self.wfold:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
                  else tuple(self.strides))
             if (not train) and self.kernel_size == 3 and s in ((1, 1, 1),
                                                                (2, 2, 2)):
-                return self._pallas_path(x, s[0], dhcw)
+                return self._pallas_path(x, s[0], dhcw, valid_w, keep_wpad)
         assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         if not self.wfold:
@@ -312,7 +315,8 @@ class ConvBNReLU3D(nn.Module):
             self.padding == 1 or tuple(self.padding) == (1, 1, 1))
         return self._wfold_path(x, train)
 
-    def _pallas_path(self, x, stride: int = 1, dhcw: bool = False):
+    def _pallas_path(self, x, stride: int = 1, dhcw: bool = False,
+                     valid_w=None, keep_wpad=False):
         """Eval: fused Pallas conv with folded BN. Declares the exact same
         parameter/stat structure as the ConvND+BatchNorm path.
 
@@ -334,7 +338,8 @@ class ConvBNReLU3D(nn.Module):
         for bi in range(b):  # eval runs B=1
             xi = (x[bi] if dhcw
                   else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
-            y = conv3d_bn_relu(xi, kernel, fscale, foffset, stride=stride)
+            y = conv3d_bn_relu(xi, kernel, fscale, foffset, stride=stride,
+                               valid_w=valid_w, keep_wpad=keep_wpad)
             outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 
@@ -413,7 +418,8 @@ class TrConvBNReLU3D(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dhcw: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False,
+                 valid_w: int | None = None, keep_wpad: bool = False):
         from mdfnet_tpu.ops import wfold as wf
         if self.pallas_eval and not self.wfold and not train:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
@@ -423,7 +429,7 @@ class TrConvBNReLU3D(nn.Module):
                   else tuple(self.output_padding))
             if (self.kernel_size == 3 and s == (2, 2, 2) and op == (1, 1, 1)
                     and self.padding == 1):
-                return self._pallas_path(x, dhcw)
+                return self._pallas_path(x, dhcw, valid_w, keep_wpad)
         assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,
@@ -436,7 +442,8 @@ class TrConvBNReLU3D(nn.Module):
             x = BatchNorm(name="bn")(x, train)
         return nn.relu(x)
 
-    def _pallas_path(self, x, dhcw: bool = False):
+    def _pallas_path(self, x, dhcw: bool = False, valid_w=None,
+                     keep_wpad=False):
         """Eval: phase-decomposed fused transposed conv (same param paths)."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import trconv3d_bn_relu
         ci = x.shape[3] if dhcw else x.shape[-1]
@@ -453,7 +460,8 @@ class TrConvBNReLU3D(nn.Module):
         for bi in range(b):
             xi = (x[bi] if dhcw
                   else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
-            y = trconv3d_bn_relu(xi, kernel, fscale, foffset)
+            y = trconv3d_bn_relu(xi, kernel, fscale, foffset,
+                                 valid_w=valid_w, keep_wpad=keep_wpad)
             outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 

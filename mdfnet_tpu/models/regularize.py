@@ -42,9 +42,11 @@ class ProbConv(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, dhcw: bool = False, train: bool = False):
+    def __call__(self, x, dhcw: bool = False, train: bool = False,
+                 valid_w: int | None = None):
         if dhcw:
             b, d, h, c, w = x.shape
+            w = valid_w or w
         else:
             b, d, h, w, c = x.shape
         kernel = self.param("kernel", _torch_conv_init(c * 27), (3, 3, 3, c, 1))
@@ -74,9 +76,10 @@ class ProbConv(nn.Module):
                 xp = jnp.pad(x[bi].astype(dtype),
                              ((1, 1), (0, 0), (0, 0), (0, 0)))
                 acc = jnp.zeros((d, h, w), jnp.float32)
+                vwk = w if w != xp.shape[-1] else None
                 for dz in range(3):
                     y = conv2d_fused(xp[dz:dz + d], k[dz], one, zero,
-                                     relu=False)
+                                     relu=False, valid_w=vwk)
                     acc = acc + y[:, :, 0, :].astype(jnp.float32)
                 outs.append(acc)
             return jnp.stack(outs)
@@ -173,10 +176,11 @@ class RegularNet3Scales(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dhcw: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False,
+                 valid_w: int | None = None):
         c0, c1, c2 = self.inner_chs, self.inner_chs * 2, self.inner_chs * 4
         if dhcw:
-            return self._dhcw_path(x, c0, c1, c2)
+            return self._dhcw_path(x, c0, c1, c2, valid_w)
         _, d, h, w, _ = x.shape
         assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
         dt = self.dtype
@@ -208,36 +212,42 @@ class RegularNet3Scales(nn.Module):
         out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
         return nn.softmax(out, axis=1)
 
-    def _dhcw_path(self, x, c0, c1, c2):
+    def _dhcw_path(self, x, c0, c1, c2, valid_w=None):
         """Eval: the whole net in the Pallas (B, D, H, C, W) layout — zero
-        per-layer transposes (input comes straight from the fused
-        aggregation kernel)."""
+        per-layer transposes; every level flows 128-aligned lane extents
+        with the true width as valid_w (zeroed junk columns), so NO layer
+        pays a host-side pad copy (input comes straight from the fused
+        aggregation kernel, already wp-wide)."""
         assert self.pallas_eval, "dhcw layout requires pallas_eval"
-        _, d, h, _, w = x.shape
-        assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
+        _, d, h, _, w_in = x.shape
+        vw = valid_w or w_in
+        assert h % 4 == 0 and vw % 4 == 0, \
+            f"volume H,W must divide 4, got {(h, vw)}"
+        w1, w2 = vw // 2, vw // 4
+        wp = lambda ww: -(-ww // 128) * 128
         dt = self.dtype
 
-        def conv(name, feats, stride, inp):
+        def conv(name, feats, stride, inp, vwl):
             return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
-                                pallas_eval=True, name=name)(inp, False,
-                                                             dhcw=True)
+                                pallas_eval=True, name=name)(
+                inp, False, dhcw=True, valid_w=vwl, keep_wpad=True)
 
-        def trconv(name, feats, inp):
+        def trconv(name, feats, inp, vwl):
             return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
-                                  pallas_eval=True, name=name)(inp, False,
-                                                               dhcw=True)
+                                  pallas_eval=True, name=name)(
+                inp, False, dhcw=True, valid_w=vwl, keep_wpad=True)
 
-        v = conv("conv01_0", c0, 1, x)
-        skip0 = conv("conv01_1", c0, 1, v)
-        v = conv("conv12_0", c1, 2, skip0)
-        v = conv("conv12_1", c1, 1, v)
-        skip1 = conv("conv12_2", c1, 1, v)
-        v = conv("conv232_0", c2, 2, skip1)
-        v = conv("conv232_1", c2, 1, v)
-        v = conv("conv232_2", c2, 1, v)
-        v = trconv("conv232_3", c1, v) + skip1
-        v = trconv("conv10", c0, v) + skip0
-        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True)
+        v = conv("conv01_0", c0, 1, x, vw)
+        skip0 = conv("conv01_1", c0, 1, v, vw)
+        v = conv("conv12_0", c1, 2, skip0, vw)
+        v = conv("conv12_1", c1, 1, v, w1)
+        skip1 = conv("conv12_2", c1, 1, v, w1)
+        v = conv("conv232_0", c2, 2, skip1, w1)
+        v = conv("conv232_1", c2, 1, v, w2)
+        v = conv("conv232_2", c2, 1, v, w2)
+        v = trconv("conv232_3", c1, v, w2)[..., :wp(w1)] + skip1
+        v = trconv("conv10", c0, v, w1)[..., :wp(vw)] + skip0
+        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True, valid_w=vw)
         return nn.softmax(out, axis=1)
 
 
@@ -253,11 +263,12 @@ class RegularNet4Scales(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, dhcw: bool = False):
+    def __call__(self, x, train: bool = False, dhcw: bool = False,
+                 valid_w: int | None = None):
         c0, c1, c2, c3 = (self.base_chs, self.base_chs * 2,
                           self.base_chs * 4, self.base_chs * 8)
         if dhcw:
-            return self._dhcw_path(x, c0, c1, c2, c3)
+            return self._dhcw_path(x, c0, c1, c2, c3, valid_w)
         _, d, h, w, _ = x.shape
         assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
         assert tuple(self.sample_stride) == (2, 2, 2), \
@@ -296,33 +307,38 @@ class RegularNet4Scales(nn.Module):
         out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
         return nn.softmax(out, axis=1)
 
-    def _dhcw_path(self, x, c0, c1, c2, c3):
-        """Eval: the whole net in the Pallas (B, D, H, C, W) layout."""
+    def _dhcw_path(self, x, c0, c1, c2, c3, valid_w=None):
+        """Eval: the whole net in the Pallas (B, D, H, C, W) layout, every
+        level flowing 128-aligned lane extents (see RegularNet3Scales)."""
         assert self.pallas_eval, "dhcw layout requires pallas_eval"
-        _, d, h, _, w = x.shape
-        assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
+        _, d, h, _, w_in = x.shape
+        vw = valid_w or w_in
+        assert h % 8 == 0 and vw % 8 == 0, \
+            f"volume H,W must divide 8, got {(h, vw)}"
         assert tuple(self.sample_stride) == (2, 2, 2)
+        w1, w2, w3 = vw // 2, vw // 4, vw // 8
+        wp = lambda ww: -(-ww // 128) * 128
         dt = self.dtype
 
-        def conv(name, feats, stride, inp):
+        def conv(name, feats, stride, inp, vwl):
             return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
-                                pallas_eval=True, name=name)(inp, False,
-                                                             dhcw=True)
+                                pallas_eval=True, name=name)(
+                inp, False, dhcw=True, valid_w=vwl, keep_wpad=True)
 
-        def trconv(name, feats, inp):
+        def trconv(name, feats, inp, vwl):
             return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
-                                  pallas_eval=True, name=name)(inp, False,
-                                                               dhcw=True)
+                                  pallas_eval=True, name=name)(
+                inp, False, dhcw=True, valid_w=vwl, keep_wpad=True)
 
-        x1 = conv("conv01", c0, 1, x)
-        v = conv("conv12_0", c1, 2, x1)
-        x2 = conv("conv12_1", c1, 1, v)
-        v = conv("conv23_0", c2, 2, x2)
-        x3 = conv("conv23_1", c2, 1, v)
-        v = conv("conv343_0", c3, 2, x3)
-        v = conv("conv343_1", c3, 1, v)
-        v = trconv("conv343_2", c2, v) + x3
-        v = trconv("trconv32", c1, v) + x2
-        v = trconv("trconv21", c0, v) + x1
-        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True)
+        x1 = conv("conv01", c0, 1, x, vw)
+        v = conv("conv12_0", c1, 2, x1, vw)
+        x2 = conv("conv12_1", c1, 1, v, w1)
+        v = conv("conv23_0", c2, 2, x2, w1)
+        x3 = conv("conv23_1", c2, 1, v, w2)
+        v = conv("conv343_0", c3, 2, x3, w2)
+        v = conv("conv343_1", c3, 1, v, w3)
+        v = trconv("conv343_2", c2, v, w3)[..., :wp(w2)] + x3
+        v = trconv("trconv32", c1, v, w2)[..., :wp(w1)] + x2
+        v = trconv("trconv21", c0, v, w1)[..., :wp(vw)] + x1
+        out = ProbConv(dtype=dt, name="prob")(v, dhcw=True, valid_w=vw)
         return nn.softmax(out, axis=1)

@@ -5,26 +5,35 @@ DepthWeight -> weighted accumulate  (models/aggregate.py, reference
 net/unit/homoaggregate.py:8-46) for the C/G == 2 configuration, where the
 group softmax collapses to sigmoids of pair-difference features.
 
-Key ideas vs ops/pallas/warp_kernel.py (the per-tile warp kernel):
+v2 design (round 3):
 
-- One window DMA per (output row, src view), shared across ALL D depth
-  planes: the plane-sweep x-spread rides a full-width window (W <= 896 lanes
-  at every stage), and the y-spread across planes fits a K-row band for
-  MVS-style cameras. This removes the D-fold window re-reads that made the
-  old kernel DMA-bound (~30x less window traffic at stage 0).
-- y-interpolation FIRST (a K-row tent blend on the VPU), then
-  x-interpolation as ONE (C, W) x (W, W) tent matmul per plane — the old
-  kernel x-interpolated all K rows, paying K times the MXU work.
-- The aggregation epilogue runs in-registers per (row, src, plane):
-  p = sigmoid(warped), sim = p*q + (1-p)(1-q), the DepthWeight scalar field
-  (1x1x1 convs + folded eval BN, homoaggregate.py:16-20), and the weighted
-  accumulation over srcs — the (D, H, G, W) volume is written to HBM once,
-  already in the (D, H, C, W) layout the Pallas U-Net consumes.
+- ONE grid axis over row BLOCKS (R rows per step, R sized so the f32
+  accumulator fits VMEM); all S src views are unrolled inside the kernel.
+  v1 ran a (rows, srcs) grid — 592/1184/2368 steps per stage at ~5-10 us
+  fixed cost each dominated stages 1-2. v2 runs 74 steps per stage.
+- Banded y-interpolation: the tent blend has <= 2 non-zero rows per output
+  column, so each (row, src, plane) blends a kb-row band at a precomputed
+  per-plane offset instead of the full K-row window — 4x less VPU work on
+  what was the largest in-kernel cost.
+- One window DMA per (row-block, src) shared across the block's rows AND
+  all D planes; in-kernel zero padding (no host-side jnp.pad copies of the
+  src features).
+- x-interpolation as a banded 256-col tent matmul per 128-col output block
+  at a 128-aligned prefetched offset (unchanged from v1), with the block
+  offset pre-subtracted from the streamed x coordinates (one fewer VPU op
+  per tent build).
+- The aggregation epilogue (sigmoid similarity, DepthWeight scalar field,
+  weighted accumulation — homoaggregate.py:16-46) runs in-registers; the
+  (D, H, C, W) volume is written once, in the layout the Pallas U-Net
+  consumes.
 
-Border semantics match grid_sample zeros-padding exactly in x (full-width
-window + zero-padded lanes). In y they match provided each row's valid
-y-coordinates span < K rows (the same coverage contract as the old kernel;
-`rowsweep_cover` computes the flag for tests). Eval-only (no autodiff).
+Border semantics match grid_sample zeros-padding exactly in x (zero-padded
+lanes + zero tent weight outside the image). In y they match provided each
+(row, plane)'s valid y-taps span <= kb rows and each block's bands fit its
+window — the COVERAGE CONTRACT. `rowsweep_aggregate` returns the contract
+flag alongside the volume so callers can fall back to the exact dense path
+when a pathological camera violates it (the reference's fusibile kernel has
+no such contract to break, fusibile.cu:138-277). Eval-only (no autodiff).
 """
 from __future__ import annotations
 
@@ -38,94 +47,121 @@ from jax.experimental.pallas import tpu as pltpu
 from mdfnet_tpu import geometry
 
 
-def _rowsweep_kernel(ystart_ref,          # scalar prefetch (Hseg, S) i32
-                     xblk_ref,            # scalar prefetch (Hseg, S*D*NB) i32
-                     q_ref,               # (1, C, Wp) block @ row
-                     xs_ref, ys_ref,      # (1, 1, D, Wp) blocks @ (src, row)
-                     k0_ref,              # (1, C) f32
-                     sc_ref,              # (1, 128) f32 [bn_s, bn_o, k1, b1]
-                     diffs_ref,           # (S, H, C, Wp) ANY/HBM
-                     out_ref,             # (D, 1, C, Wp) block @ row
-                     window, vol, wsum, blend_buf, sems,
-                     *, n_src: int, k_win: int, nd: int):
-    r = pl.program_id(0)
-    s = pl.program_id(1)
-    n_rows = pl.num_programs(0)
+def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
+                     yrel_ref,          # scalar prefetch (HB, S*R*D) i32
+                     xblk_ref,          # scalar prefetch (HB, S*R*D*NB) i32
+                     q_ref,             # (R, C, Wp) block @ row-block
+                     coords_ref,        # (2, S, D, Hp, Wp) ANY/HBM: xrel, ys
+                     k0_ref,            # (1, C) f32
+                     sc_ref,            # (1, 128) f32 [bn_s, bn_o, k1, b1]
+                     diffs_ref,         # (S, H, C, W) ANY/HBM — unpadded
+                     out_ref,           # (D, R, C, Wp) block @ row-block
+                     window, cs, vol, wsum, blend_buf, sems, csems,
+                     *, n_src: int, kprime: int, nd: int, kb: int,
+                     r_rows: int, nb: int, wvalid: int = 0):
+    hb = pl.program_id(0)
+    nhb = pl.num_programs(0)
+    wp = blend_buf.shape[-1]
 
-    def dma(slot, rr, ss):
+    def dma(slot, hh, s):
+        # diffs is host-padded to Wp: HBM DMA lane extents must be
+        # 128-aligned (Mosaic rejects arbitrary widths)
         return pltpu.make_async_copy(
-            diffs_ref.at[ss, pl.ds(ystart_ref[rr, ss], k_win)],
-            window.at[slot],
-            sems.at[slot],
+            diffs_ref.at[s, pl.ds(wstart_ref[hh, s], kprime)],
+            window.at[slot, s],
+            sems.at[slot, s],
         )
 
-    i = r * n_src + s
+    def cdma(hh):
+        # single-buffered coord fetch (the HBM array is pre-grouped by
+        # row-block so ONE leading-axis DMA per step fetches every source's
+        # planes); started AFTER the previous step's last read of cs
+        return pltpu.make_async_copy(
+            coords_ref.at[hh],
+            cs,
+            csems,
+        )
 
-    @pl.when(i == 0)
+    @pl.when(hb == 0)
     def _():
-        dma(0, 0, 0).start()
+        cdma(0).start()
+        for s in range(n_src):
+            dma(0, 0, s).start()
 
-    @pl.when(i + 1 < n_rows * n_src)
+    @pl.when(hb + 1 < nhb)
     def _():
-        dma((i + 1) % 2, (i + 1) // n_src, (i + 1) % n_src).start()
+        for s in range(n_src):
+            dma((hb + 1) % 2, hb + 1, s).start()
 
-    dma(i % 2, r, s).wait()
-    win = window[i % 2].astype(jnp.float32)  # (K, C, Wp)
+    cdma(hb).wait()
 
-    @pl.when(s == 0)
-    def _():
-        vol[...] = jnp.zeros_like(vol)
-        wsum[...] = jnp.zeros_like(wsum)
+    vol[...] = jnp.zeros_like(vol)
+    wsum[...] = jnp.zeros_like(wsum)
 
-    wp = win.shape[-1]
-    q = q_ref[0].astype(jnp.float32)              # (C, Wp)
-    y0 = ystart_ref[r, s].astype(jnp.float32)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (kb, wp), 0) \
+        .astype(jnp.float32)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
+        .astype(jnp.float32)
     k0 = k0_ref[0]                                # (C,) f32
     bn_s = sc_ref[0, 0]
     bn_o = sc_ref[0, 1]
     k1 = sc_ref[0, 2]
     b1 = sc_ref[0, 3]
 
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (k_win, wp), 0) \
-        .astype(jnp.float32)
-    biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
-        .astype(jnp.float32)
-    nb = wp // 128
+    for s in range(n_src):
+        dma(hb % 2, hb, s).wait()
+        w0 = wstart_ref[hb, s].astype(jnp.float32)
+        for r in range(r_rows):
+            q = q_ref[r].astype(jnp.float32)      # (C, Wp)
 
-    for d in range(nd):
-        ysd = ys_ref[0, 0, d].astype(jnp.float32)     # (Wp,)
-        xsd = xs_ref[0, 0, d].astype(jnp.float32)
-        ky = jnp.maximum(0.0, 1.0 - jnp.abs(ysd[None, :] - (kiota + y0)))
-        blend_buf[...] = jnp.sum(win * ky[:, None, :], axis=0)  # (C, Wp) f32
-        # x-interp per 128-col output block against a 256-col source window
-        # at a 128-ALIGNED precomputed offset — the tent matrix is band
-        # sparse, so the dense (Wp, Wp) build + matmul wasted O(W^2) VPU and
-        # MXU per plane. Aligned dynamic lane slices are Mosaic-legal.
-        cols = []
-        for b in range(nb):
-            start = xblk_ref[r, (s * nd + d) * nb + b] * 128
-            startm = pl.multiple_of(start, 128)
-            src_win = blend_buf[:, pl.ds(startm, 256)]       # (C, 256)
-            xb = xsd[b * 128:(b + 1) * 128]                  # (128,)
-            kx = jnp.maximum(
-                0.0, 1.0 - jnp.abs(xb[None, :]
-                                   - (biota + start.astype(jnp.float32))))
-            cols.append(jax.lax.dot_general(
-                src_win.astype(jnp.bfloat16), kx.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        warped = jnp.concatenate(cols, axis=1)               # (C, Wp) f32
-        p = jax.nn.sigmoid(warped)
-        sim = p * q + (1.0 - p) * (1.0 - q)                   # (C, Wp)
-        sfield = jnp.sum(sim * k0[:, None], axis=0)           # (Wp,)
-        act = jnp.maximum(sfield * bn_s + bn_o, 0.0)
-        wgt = jax.nn.sigmoid(act * k1 + b1)                   # (Wp,)
-        vol[d] = vol[d] + sim * wgt[None, :]
-        wsum[d] = wsum[d] + wgt[None, :]
+            def dbody(d, _, s=s, r=r, q=q, w0=w0):
+                rel = yrel_ref[hb, (s * r_rows + r) * nd + d]
+                band = window[hb % 2, s, pl.ds(rel, kb)]   # (kb, C, W~)
+                ysd = cs[1, s, d, r]                       # (Wp,) f32
+                y0 = w0 + rel.astype(jnp.float32)
+                ky = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ysd[None, :] - (kiota + y0)))
+                blend_buf[...] = jnp.sum(
+                    band.astype(jnp.float32) * ky[:, None, :], axis=0)
+                cols = []
+                for b in range(nb):
+                    start = xblk_ref[
+                        hb, ((s * r_rows + r) * nd + d) * nb + b] * 128
+                    startm = pl.multiple_of(start, 128)
+                    src_win = blend_buf[:, pl.ds(startm, 256)]  # (C, 256)
+                    xb = cs[0, s, d, r, b * 128:(b + 1) * 128]
+                    kx = jnp.maximum(0.0, 1.0 - jnp.abs(xb[None, :] - biota))
+                    cols.append(jax.lax.dot_general(
+                        src_win.astype(jnp.bfloat16), kx.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                warped = cols[0] if nb == 1 else jnp.concatenate(cols, axis=1)
+                p = jax.nn.sigmoid(warped)                    # (C, Wp)
+                sim = p * q + (1.0 - p) * (1.0 - q)
+                sfield = jnp.sum(sim * k0[:, None], axis=0)   # (Wp,)
+                act = jnp.maximum(sfield * bn_s + bn_o, 0.0)
+                wgt = jax.nn.sigmoid(act * k1 + b1)           # (Wp,)
+                vol[d, r] = vol[d, r] + sim * wgt[None, :]
+                wsum[d, r] = wsum[d, r] + wgt
+                return 0
 
-    @pl.when(s == n_src - 1)
+            # fully unrolled: Mosaic software-pipelines consecutive planes
+            # (VPU tent builds overlapping MXU interps); a fori_loop
+            # serialises them (and Pallas only lowers full unrolls anyway)
+            for d in range(nd):
+                dbody(d, 0)
+
+    @pl.when(hb + 1 < nhb)
     def _():
-        out_ref[:, 0] = (vol[...] / wsum[...]).astype(out_ref.dtype)
+        cdma(hb + 1).start()
+
+    res = vol[...] / wsum[...][:, :, None, :]
+    if 0 < wvalid < wp:
+        # zero the junk lane-pad columns: the Pallas U-Net consumes this
+        # volume wp-wide and needs grid-conv zero padding there
+        mi = jax.lax.broadcasted_iota(jnp.int32, res.shape, 3)
+        res = res * (mi < wvalid).astype(res.dtype)
+    out_ref[...] = res.astype(out_ref.dtype)
 
 
 def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
@@ -150,27 +186,26 @@ def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
     return jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys)
 
 
-def _window_starts(ys, h, w, k_win):
-    """Per (src, row) window top rows from the y coords: cover the valid
-    span, clipped into the image. Returns ((S, H) i32 starts, cover flag)."""
-    valid = (ys > -1.0) & (ys < h) & (jnp.isfinite(ys))
+def _band_starts(ys, h, kb):
+    """Per (src, row, plane) kb-row y-band top rows + the per-plane coverage
+    flag (every in-image y tap inside its band). ys: (S, H, D, Wp)."""
+    valid = (ys > -1.0) & (ys < h) & jnp.isfinite(ys)
     big = jnp.float32(1e9)
-    y_min = jnp.min(jnp.where(valid, ys, big), axis=(1, 3))   # over (D, Wp)
-    y_max = jnp.max(jnp.where(valid, ys, -big), axis=(1, 3))
-    y_min = jnp.where(y_min > h, 0.0, y_min)                  # no valid px
-    y_max = jnp.where(y_max < -1.0, 0.0, y_max)
-    start = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0, h - k_win)
-    # needed rows are floor(y) and floor(y)+1, clipped into the image
-    # (out-of-image taps contribute zero under grid_sample zeros padding)
-    lo = jnp.maximum(jnp.floor(y_min), 0.0)
-    hi = jnp.minimum(jnp.floor(y_max) + 1.0, h - 1.0)
-    cover = jnp.all((start.astype(jnp.float32) <= lo)
-                    & (hi <= start.astype(jnp.float32) + k_win - 1))
-    return jnp.transpose(start), cover  # (H, S)
+    ymin = jnp.min(jnp.where(valid, ys, big), axis=-1)    # (S, H, D)
+    ymax = jnp.max(jnp.where(valid, ys, -big), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    band = jnp.clip(jnp.floor(ymin), 0.0, max(h - kb, 0)).astype(jnp.int32)
+    band = jnp.where(any_valid, band, 0)
+    # needed rows are floor(y) >= 0 and floor(y)+1 <= h-1 (out-of-image taps
+    # contribute zero under grid_sample zeros padding)
+    hi = jnp.minimum(jnp.floor(ymax) + 1.0, h - 1.0)
+    cover = jnp.all(jnp.where(
+        any_valid, hi <= band.astype(jnp.float32) + kb - 1, True))
+    return band, cover
 
 
 def _x_block_starts(xs, w):
-    """Per (row, src, plane, out-block) 128-aligned source-window start
+    """Per (src, row, plane, out-block) 128-aligned source-window start
     block for the banded x-interp, plus the coverage flag (every in-image
     tap of an out block inside its 256-col window). xs: (S, H, D, Wp)."""
     wp = xs.shape[-1]
@@ -186,18 +221,68 @@ def _x_block_starts(xs, w):
     hi_tap = jnp.minimum(jnp.floor(xmax) + 1.0, w - 1.0)
     cover = jnp.all(jnp.where(
         any_valid, hi_tap <= start.astype(jnp.float32) * 128.0 + 255.0, True))
-    h = start.shape[1]
-    flat = jnp.transpose(start, (1, 0, 2, 3)).reshape(h, -1)
-    return flat, cover  # (H, S*D*NB) — flat so the SMEM copy isn't lane-padded
+    return start, cover  # (S, H, D, NB)
 
 
-@functools.partial(jax.jit, static_argnames=("k_win", "row_seg", "interpret"))
+def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
+    """All prefetch arrays + the coverage flag for the v2 kernel.
+
+    Returns (xs, ys, xrel, wstart, yrel, xblk_flat, cover); row axes are
+    padded (edge-replicated) to ceil(h / r_rows) * r_rows.
+    """
+    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
+    nd = hypos.shape[0]
+    nb = wp // 128
+    n_src = src_projs.shape[0]
+
+    hb_count = -(-h // r_rows)
+    hpad = hb_count * r_rows
+    if hpad != h:
+        rpad = ((0, 0), (0, hpad - h), (0, 0), (0, 0))
+        xs = jnp.pad(xs, rpad, mode="edge")
+        ys = jnp.pad(ys, rpad, mode="edge")
+
+    band, cover_y = _band_starts(ys, h, kb)                 # (S, Hp, D)
+    xblk, cover_x = _x_block_starts(xs, w)                  # (S, Hp, D, NB)
+
+    band_blk = band.reshape(n_src, hb_count, r_rows, nd)
+    bmin = jnp.min(band_blk, axis=(2, 3))                   # (S, HB)
+    bmax = jnp.max(band_blk, axis=(2, 3))
+    wstart = jnp.clip(bmin, 0, max(h - kprime, 0))          # (S, HB)
+    cover_w = jnp.all(bmax + kb <= wstart + kprime)
+    yrel = jnp.clip(band_blk - wstart[:, :, None, None], 0, kprime - kb)
+    # (HB, S*R*D) — kernel index (s*R + r)*D + d
+    yrel = jnp.transpose(yrel, (1, 0, 2, 3)).reshape(hb_count, -1)
+    wstart = jnp.transpose(wstart)                          # (HB, S)
+
+    # pre-subtract each block's 128-aligned window offset from the x coords
+    # (one fewer VPU op per in-kernel tent build)
+    offs = jnp.broadcast_to((xblk.astype(jnp.float32) * 128.0)[..., None],
+                            xblk.shape + (128,))
+    xrel = xs - offs.reshape(xblk.shape[:3] + (nb * 128,))
+    # rows regrouped into (HB, S, R, D, NB) kernel order
+    xblk_flat = jnp.transpose(
+        xblk.reshape(n_src, hb_count, r_rows, nd, nb), (1, 0, 2, 3, 4)) \
+        .reshape(hb_count, -1)                              # (HB, S*R*D*NB)
+
+    cover = cover_y & cover_w & cover_x
+    return xs, ys, xrel, wstart, yrel, xblk_flat, cover
+
+
+def _pick_r_rows(nd: int, c: int, wp: int, h: int) -> int:
+    """Rows per grid step: bounded by a ~3.5 MB f32 accumulator budget."""
+    per_row = nd * c * wp * 4
+    return max(1, min(8, int(3.5e6) // per_row, h))
+
+
+@functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
+                                             "interpret"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
-                       row_seg: int = 1024, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       kb: int = 4, valid_w: int | None = None,
+                       interpret: bool = False):
     """Fused warp + aggregate for ONE batch item.
 
     Args:
@@ -208,92 +293,116 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         k0: (C,) DepthWeight conv0 channel weights (f32).
         bn_scale, bn_offset: folded eval BN scalars of the scalar-field BN.
         k1, b1: DepthWeight conv1 scalar weight/bias.
+        k_win: base y-window rows per row-block (grows with the block size).
+        kb: y-band rows per (row, plane) — the per-plane coverage contract.
     Returns:
-        (D, H, C, Wp) aggregated cost volume (Wp = W padded to 128; columns
-        beyond W hold the zero-feature similarity, slice before use).
+        (volume, cover): volume (D, H, C, Wp) aggregated cost volume
+        (Wp = W padded to 128; columns beyond W hold the zero-feature
+        similarity, slice before use); cover () bool — True iff the kernel's
+        y-band/window/x-window contracts all held, i.e. the volume is exact.
+        On False, fall back to the dense/gather path.
     """
-    n_src, h, c, w = diffs.shape
+    n_src, h, c, w_in = diffs.shape
+    w = valid_w or w_in
     nd = depth_hypos.shape[0]
     wp = -(-w // 128) * 128
-    k_win = min(k_win, h)
+    assert w_in in (w, wp), (w_in, w)
+    if wp < 256:
+        wp = 256  # the banded x-interp needs a 256-col source window
+    kb = min(kb, h)
 
     if depth_hypos.shape[-1] == 1:
         hypos = jnp.broadcast_to(depth_hypos, (nd, 1, 1))
     else:
         hypos = depth_hypos
-    if wp < 256:
-        wp = 256  # the banded x-interp needs a 256-col source window
-    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
-    ystart, _ = _window_starts(ys.transpose(0, 2, 1, 3), h, w, k_win)
-    xblk, _ = _x_block_starts(xs, w)
 
-    diffs_p = jnp.pad(diffs, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
-    q_p = jnp.pad(q, ((0, 0), (0, 0), (0, wp - w)),
+    r_rows = _pick_r_rows(nd, c, wp, h)
+    kprime = min(k_win + 2 * r_rows, h)
+    hb_count = -(-h // r_rows)
+    hpad = hb_count * r_rows
+    nb = wp // 128
+
+    xs, ys, xrel, wstart, yrel, xblk, cover = _plan(
+        src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime)
+
+    # (S, Hp, D, Wp) -> (HB, 2, S, D, R, Wp): pre-grouped per row-block so
+    # the kernel fetches each step's coords with ONE leading-axis DMA
+    # (HBM DMA slices on tiled dims must be tile-aligned), and plane d is
+    # indexed dynamically in VMEM, which must land on an untiled major axis
+    def blkfmt(a):
+        a = a.reshape(n_src, hb_count, r_rows, nd, wp)
+        return jnp.transpose(a, (1, 0, 3, 2, 4))
+    coords = jnp.stack([blkfmt(xrel), blkfmt(ys)], axis=1)
+
+    # lane-pad the src features (HBM DMA extents must be 128-aligned);
+    # zero pad == grid_sample zeros semantics for out-of-image x taps.
+    # Producers that already keep their 128-aligned extent (backbone
+    # keep_wpad) arrive with zeroed pad columns — identical semantics,
+    # zero copies.
+    q_p = jnp.pad(q, ((0, hpad - h), (0, 0), (0, wp - w_in)),
                   constant_values=0.5)  # sigma(0): zero-feature ref
+    if wp != w_in:
+        diffs = jnp.pad(diffs, ((0, 0), (0, 0), (0, 0), (0, wp - w_in)))
     k0_2 = k0.reshape(1, c).astype(jnp.float32)
     scalars = jnp.zeros((1, 128), jnp.float32)
     scalars = scalars.at[0, 0].set(bn_scale).at[0, 1].set(bn_offset)
     scalars = scalars.at[0, 2].set(k1).at[0, 3].set(b1)
 
-    kern = functools.partial(_rowsweep_kernel, n_src=n_src, k_win=k_win,
-                             nd=nd)
+    kern = functools.partial(_rowsweep_kernel, n_src=n_src, kprime=kprime,
+                             nd=nd, kb=kb, r_rows=r_rows, nb=nb, wvalid=w)
 
-    def run_rows(r0, r1):
-        rows = r1 - r0
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(rows, n_src),
-            in_specs=[
-                pl.BlockSpec((1, c, wp), lambda r, s, *_: (r0 + r, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, nd, wp),
-                             lambda r, s, *_: (s, r0 + r, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, nd, wp),
-                             lambda r, s, *_: (s, r0 + r, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda r, s, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 128), lambda r, s, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((nd, 1, c, wp),
-                                   lambda r, s, *_: (0, r, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, k_win, c, wp), diffs.dtype),
-                pltpu.VMEM((nd, c, wp), jnp.float32),
-                pltpu.VMEM((nd, 1, wp), jnp.float32),
-                pltpu.VMEM((c, wp), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        return pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nd, rows, c, wp), diffs.dtype),
-            interpret=interpret,
-        )(ystart[r0:r1], xblk[r0:r1], q_p, xs, ys, k0_2, scalars, diffs_p)
-
-    outs = [run_rows(r0, min(r0 + row_seg, h))
-            for r0 in range(0, h, row_seg)]
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    # (S, Hp, D, Wp) -> (S, HB*R, D, Wp) blocks stream (S, R, D, Wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(hb_count,),
+        in_specs=[
+            pl.BlockSpec((r_rows, c, wp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nd, r_rows, c, wp),
+                               lambda i, *_: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
+            pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
+            pltpu.VMEM((nd, r_rows, c, wp), jnp.float32),
+            pltpu.VMEM((nd, r_rows, wp), jnp.float32),
+            pltpu.VMEM((c, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_src)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nd, hpad, c, wp), diffs.dtype),
+        interpret=interpret,
+    )(wstart, yrel, xblk, q_p, coords, k0_2, scalars, diffs)
+    return out[:, :h], cover
 
 
 def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,
-                   k_win: int = 16) -> jnp.ndarray:
-    """Coverage flag for the rowsweep kernel's contracts (tests): the y
-    span of every row fits the k_win window AND every out block's in-image
-    x taps fit its 128-aligned 256-col source window."""
+                   k_win: int = 16, kb: int = 4) -> jnp.ndarray:
+    """Coverage flag for the rowsweep kernel's contracts without running it:
+    per-(row, plane) y taps fit the kb band, the bands fit the row-block
+    window, and every out block's in-image x taps fit its 128-aligned
+    256-col source window."""
     nd = depth_hypos.shape[0]
     wp = -(-w // 128) * 128
     if wp < 256:
         wp = 256
     hypos = (jnp.broadcast_to(depth_hypos, (nd, 1, 1))
              if depth_hypos.shape[-1] == 1 else depth_hypos)
-    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
-    _, cover = _window_starts(ys.transpose(0, 2, 1, 3), h, w,
-                              min(k_win, h))
-    _, cover_x = _x_block_starts(xs, w)
-    return cover & cover_x
+    kb = min(kb, h)
+    # c is only used for the VMEM budget; assume the smallest (widest R)
+    r_rows = _pick_r_rows(nd, 8, wp, h)
+    kprime = min(k_win + 2 * r_rows, h)
+    *_, cover = _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows,
+                      kprime)
+    return cover

@@ -62,7 +62,8 @@ def _conv2d_kernel_unstacked(
         offset_ref,   # (1, R*Co) VMEM f32
         out_ref,      # (1, R*Co, Wp) VMEM block
         slab, taps, sems,  # (2, rows, ci, Wq), (rows, nblk*sub, Wp)
-        *, r_fold: int, k: int, relu: bool, gg: int, sub: int):
+        *, r_fold: int, k: int, relu: bool, gg: int, sub: int,
+        wvalid: int = 0):
     """Stride-1 path without host-side tap stacking: ONE lane-aligned slab
     DMA per block; the k dx-shifted tap planes are formed in VMEM by lane
     rolls. The pre-stacked tensor's extra HBM write+read (3-4x the layer
@@ -123,6 +124,11 @@ def _conv2d_kernel_unstacked(
     y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
     if relu:
         y = jnp.maximum(y, 0.0)
+    if 0 < wvalid < wp:
+        # zero the junk lane-pad columns so keep_wpad outputs can feed the
+        # next fused consumer without a host-side slice copy
+        yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        y = y * (yi < wvalid).astype(y.dtype)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -133,7 +139,8 @@ def _conv2d_kernel_s2(
         offset_ref,   # (1, R*Co) VMEM f32
         out_ref,      # (1, R*Co, Wp) VMEM block
         slab, taps, sems,  # (2, 2, rows, ci, Wq), (rows, nblk*sub, Wp)
-        *, r_fold: int, k: int, relu: bool, gg: int, sub: int):
+        *, r_fold: int, k: int, relu: bool, gg: int, sub: int,
+        wvalid: int = 0):
     """Stride-2 path on W-parity streams: tap j reads stream (j-p) mod 2 at
     lane shift floor((j-p)/2) — two 1x streams replace the k-fold stacked
     tensor (its HBM write+read dominated the downsampling convs). ``gg``
@@ -196,6 +203,9 @@ def _conv2d_kernel_s2(
     y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
     if relu:
         y = jnp.maximum(y, 0.0)
+    if 0 < wvalid < wp:
+        yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        y = y * (yi < wvalid).astype(y.dtype)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -220,10 +230,12 @@ def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
 
 
 @functools.partial(jax.jit, static_argnames=("th", "stride", "relu",
+                                             "valid_w", "keep_wpad",
                                              "interpret"))
 def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                  offset: jnp.ndarray, *, th: int | None = None,
                  stride: int = 1, relu: bool = True,
+                 valid_w: int | None = None, keep_wpad: bool = False,
                  interpret: bool = False) -> jnp.ndarray:
     """Fused conv2d + per-channel scale/offset (+ ReLU) on (N, H, C, W).
 
@@ -236,10 +248,18 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             Plain bias: scale = 1, offset = bias.
         th: output rows folded into the matmul M axis per grid step
             (default ~128/Co, the MXU row count).
+        valid_w: true image width when x carries 128-aligned lane padding
+            from an upstream fused kernel (the junk columns are dropped in
+            this kernel's existing host-side pad copy — zero extra cost).
+        keep_wpad: return the full 128-aligned lane extent for the next
+            fused consumer (columns beyond ceil(W_out) hold junk).
     Returns:
         (N, H_out, Co, W_out), *_out = ceil(*/stride).
     """
     n, h, ci, w = x.shape
+    if valid_w is not None and valid_w != w:
+        x = x[..., :valid_w]
+        w = valid_w
     k = kernel.shape[0]
     co = kernel.shape[-1]
     assert k in (1, 3, 5) and stride in (1, 2)
@@ -281,7 +301,8 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32),
                            (1, r_fold))
         kern = functools.partial(_conv2d_kernel_unstacked, r_fold=r_fold,
-                                 k=k, relu=relu, gg=gg, sub=slot)
+                                 k=k, relu=relu, gg=gg, sub=slot,
+                                 wvalid=w_out if keep_wpad else 0)
         out = pl.pallas_call(
             kern,
             grid=(n, h_out_pad // r_fold),
@@ -306,7 +327,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             interpret=interpret,
         )(xs, wfold, scale2, offset2)
         out = out.reshape(n, h_out_pad, co, wp)
-        return out[:, :h_out, :, :w_out]
+        return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
 
     # stride 2: W-parity streams + in-kernel rolls (no k-fold stacked tensor)
     p = (k - 1) // 2
@@ -324,7 +345,8 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32), (1, r_fold))
 
     kern = functools.partial(_conv2d_kernel_s2, r_fold=r_fold, k=k, relu=relu,
-                             gg=gg, sub=slot)
+                             gg=gg, sub=slot,
+                             wvalid=w_out if keep_wpad else 0)
     out = pl.pallas_call(
         kern,
         grid=(n, h_out_pad // r_fold),
@@ -349,4 +371,311 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         interpret=interpret,
     )(xs2, wfold, scale2, offset2)
     out = out.reshape(n, h_out_pad, co, wp)
-    return out[:, :h_out, :, :w_out]
+    return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
+
+
+def _layer_geometry(ci_e: int, dtype) -> tuple[int, int]:
+    """(gg, slot): taps per sublane-tile block and the block's sublane size."""
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    if ci_e < sub and sub % ci_e == 0:
+        return sub // ci_e, sub
+    return 1, -(-ci_e // sub) * sub
+
+
+def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
+                         relu_flags, valid_w: int):
+    """L stride-1 convs on one row strip, intermediates held in VMEM.
+
+    refs: per-layer (w, scale, offset) VMEM refs, then out_ref, then
+    scratch: slab, taps_0..taps_{L-1}, buf_0..buf_{L-2}, sems.
+    layers: list of (k, ci_e, co, gg, slot, nblk) static descriptors.
+    """
+    nlayers = len(layers)
+    w_refs = [refs[3 * l] for l in range(nlayers)]
+    s_refs = [refs[3 * l + 1] for l in range(nlayers)]
+    o_refs = [refs[3 * l + 2] for l in range(nlayers)]
+    out_ref = refs[3 * nlayers]
+    scratch = refs[3 * nlayers + 1:]
+    slab = scratch[0]
+    taps = scratch[1:1 + nlayers]
+    bufs = scratch[1 + nlayers:1 + 2 * nlayers - 1]
+    sems = scratch[-1]
+
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+    total = pl.num_programs(0) * n_hb
+    i = n * n_hb + hb
+
+    pads = [(k - 1) // 2 for k, *_ in layers]
+    ptot = sum(pads)
+    # rows of layer l's OUTPUT needed per strip
+    rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
+    rows_in = rows_out[0] + 2 * pads[0]
+    wimg = x_ref.shape[-1]
+    wp = out_ref.shape[-1]
+
+    # per-block copy geometry: (dst0, row0, length) for blocks whose strip
+    # [hb*R - P, hb*R - P + rows_in) leaves the image — with h % R != 0 the
+    # tail can cover SEVERAL blocks, not just the last one
+    specials = {}
+    for v in range(n_hb):
+        row0 = v * r_fold - ptot
+        dst0 = max(0, -row0)
+        row0 = max(0, row0)
+        length = min(rows_in - dst0, h - row0)
+        if dst0 != 0 or length != rows_in:
+            specials[v] = (dst0, row0, length)
+
+    def issue(what, slot, nn, hh):
+        """Edge-aware slab DMA: rows [hh*r_fold - ptot, +rows_in) of the
+        UNPADDED input, with out-of-image rows zero-filled in VMEM."""
+        def go(row0, dst0, length):
+            cp = pltpu.make_async_copy(
+                x_ref.at[nn, pl.ds(row0, length)],
+                slab.at[slot, pl.ds(dst0, length), :, pl.ds(0, wimg)],
+                sems.at[slot])
+            if what == "start":
+                cp.start()
+            else:
+                cp.wait()
+
+        def zero(a, b):
+            if what == "start" and b > a:
+                slab[slot, a:b] = jnp.zeros(
+                    (b - a,) + slab.shape[2:], slab.dtype)
+
+        def do(spec):
+            dst0, row0, length = spec
+            zero(0, dst0)
+            zero(dst0 + length, rows_in)
+            go(row0, dst0, length)
+
+        if n_hb == 1:
+            do(specials.get(0, (0, 0, rows_in)))
+            return
+        for v, spec in specials.items():
+            @pl.when(hh == v)
+            def _(spec=spec):
+                do(spec)
+        if len(specials) < n_hb:
+            gen = hh >= 0
+            for v in specials:
+                gen = gen & (hh != v)
+
+            @pl.when(gen)
+            def _():
+                go(hh * r_fold - ptot, 0, rows_in)
+
+    @pl.when(i == 0)
+    def _():
+        if wimg != slab.shape[-1]:
+            slab[:, :, :, wimg:] = jnp.zeros(
+                slab.shape[:3] + (slab.shape[-1] - wimg,), slab.dtype)
+        for b in bufs:
+            if b.shape[-1] != wp:
+                b[:, :, wp:] = jnp.zeros(
+                    b.shape[:2] + (b.shape[-1] - wp,), b.dtype)
+        issue("start", 0, 0, 0)
+
+    @pl.when(i + 1 < total)
+    def _():
+        issue("start", (i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb)
+
+    issue("wait", i % 2, n, hb)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+
+    cur = slab  # indexed [slot] for layer 0
+    for l, (k, ci_e, co, gg, slot_sz, nblk) in enumerate(layers):
+        # layer-0 input needs no mask: every producer (the image pad, this
+        # kernel, conv2d_fused) zeroes its own junk lane-pad columns
+        src = cur[i % 2] if l == 0 else cur[...]
+        in_rows = rows_out[l] + k - 1
+        tp = taps[l]
+        if k == 1:
+            tp[...] = src[:, :tp.shape[1], :wp] if src.shape[1] >= tp.shape[1] \
+                else jnp.pad(src[..., :wp],
+                             ((0, 0), (0, tp.shape[1] - src.shape[1]), (0, 0)))
+        else:
+            for b in range(nblk):
+                parts = []
+                for t in range(gg):
+                    dx = b * gg + t
+                    if dx < k:
+                        parts.append(
+                            _shift_lanes_left(src, dx - (k - 1) // 2)
+                            [..., :wp])
+                    else:
+                        parts.append(jnp.zeros((in_rows, ci_e, wp),
+                                               src.dtype))
+                block = (parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=1))
+                if block.shape[1] < slot_sz:
+                    block = jnp.pad(
+                        block, ((0, 0), (0, slot_sz - block.shape[1]),
+                                (0, 0)))
+                tp[:, b * slot_sz:(b + 1) * slot_sz, :] = block
+
+        acc = jax.lax.dot_general(
+            w_refs[l][...], tp[...].reshape(in_rows * nblk * slot_sz, wp),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (rows_l*co, Wp)
+        y = acc * s_refs[l][0][:, None] + o_refs[l][0][:, None]
+        if relu_flags[l]:
+            y = jnp.maximum(y, 0.0)
+        # zero the out-of-image lane tail: intermediates so the next
+        # layer's taps see grid-conv zero padding, the output so junk-free
+        # lane padding flows to the next fused consumer
+        if valid_w < wp:
+            yiota = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            y = y * (yiota < valid_w).astype(y.dtype)
+
+        if l == nlayers - 1:
+            out_ref[0] = y.astype(out_ref.dtype)
+        else:
+            buf = bufs[l]
+            buf[:, :, :wp] = y.astype(buf.dtype).reshape(rows_out[l], co, wp)
+            # out-of-image ROWS of this intermediate must be zero too (the
+            # next conv's torch zero padding); like the slab DMA, the tail
+            # can span several blocks when h % r_fold != 0
+            off = sum(pads[l + 1:])
+            ro = rows_out[l]
+            for v in range(n_hb):
+                top = max(0, off - v * r_fold)
+                btm = max(0, min(ro, (v * r_fold - off + ro) - h))
+                if not (top or btm):
+                    continue
+
+                @pl.when(hb == v)
+                def _(buf=buf, top=top, btm=btm, ro=ro):
+                    if top:
+                        buf[:top] = jnp.zeros(
+                            (top,) + buf.shape[1:], buf.dtype)
+                    if btm:
+                        buf[ro - btm:ro] = jnp.zeros(
+                            (btm,) + buf.shape[1:], buf.dtype)
+            cur = buf
+
+
+@functools.partial(jax.jit, static_argnames=("th", "relu_flags", "valid_w",
+                                             "keep_wpad", "interpret"))
+def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
+                       th: int | None = None,
+                       relu_flags: tuple = (),
+                       valid_w: int | None = None,
+                       keep_wpad: bool = False,
+                       interpret: bool = False) -> jnp.ndarray:
+    """A chain of stride-1 convs (+ per-channel scale/offset/ReLU epilogues)
+    over (N, H, C, W), fused into ONE kernel pass per row strip.
+
+    The intermediate activations live only in VMEM: for an L-layer chain at
+    backbone resolution this removes L-1 full feature-map HBM round trips
+    plus every host-side pad copy (the strip is zero-padded in-kernel on
+    both axes). Hot path of the FPN trunk (reference net/unit/backbone.py:
+    17-38 runs conv pairs at each scale).
+
+    Args:
+        x: (N, H, Ci, W); Ci must be DMA-aligned (pad to 4 bf16 / 8 f32).
+            If W is 128-aligned but wider than the true image, pass
+            ``valid_w`` — junk pad columns are masked in-kernel (HBM DMA
+            lane extents must be 128-aligned, so producers keep their lane
+            padding instead of slicing).
+        kernels: list of (k, k, ci, co) HWIO weights, k in {1, 3}.
+        scales, offsets: per-layer (co,) f32 folded epilogues.
+        relu_flags: per-layer bool (default: all True).
+        keep_wpad: return the full 128-aligned lane extent (columns beyond
+            valid_w hold junk) so the next fused consumer can DMA it
+            without a host-side slice copy.
+    Returns:
+        (N, H, Co_last, valid_w | Wp) = exact composition of the layers
+        with torch zero padding at each step.
+    """
+    n, h, ci, w_in = x.shape
+    vw = valid_w or w_in
+    nlayers = len(kernels)
+    relu_flags = relu_flags or (True,) * nlayers
+    assert len(relu_flags) == nlayers
+    co_last = kernels[-1].shape[-1]
+    r_fold = th or max(1, min(128 // co_last, 16, h))
+    ptot = sum((kk.shape[0] - 1) // 2 for kk in kernels)
+    if h > r_fold:  # multi-block: strip DMAs must stay in-image
+        r_fold = min(r_fold, max(ptot, h - ptot))
+        r_fold = max(r_fold, ptot)
+    n_hb = -(-h // r_fold)
+    wp = -(-vw // 128) * 128
+    assert w_in in (vw, wp), (w_in, vw)
+    if w_in != wp:
+        # unaligned true-width input: one host-side lane pad (aligned DMA)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w_in)))
+    wq = wp + 128
+    w = vw
+
+    align = 4 if x.dtype == jnp.bfloat16 else 8
+    assert ci % align == 0, f"chain input channels {ci} not DMA-aligned"
+
+    layers = []
+    wfs, sc2, of2 = [], [], []
+    cis = ci
+    pads = [(kk.shape[0] - 1) // 2 for kk in kernels]
+    for l, kk in enumerate(kernels):
+        k = kk.shape[0]
+        assert k in (1, 3) and kk.shape[2] == cis
+        co = kk.shape[-1]
+        ci_e = cis
+        gg, slot = _layer_geometry(ci_e, x.dtype)
+        nblk = -(-k // gg)
+        rows_l = r_fold + 2 * sum(pads[l + 1:])
+        layers.append((k, ci_e, co, gg, slot, nblk))
+        wfs.append(_fold_rows_grouped(kk.astype(x.dtype), rows_l, k, 1, gg,
+                                      slot, ci_e))
+        sc2.append(jnp.tile(scales[l].reshape(1, co).astype(jnp.float32),
+                            (1, rows_l)))
+        of2.append(jnp.tile(offsets[l].reshape(1, co).astype(jnp.float32),
+                            (1, rows_l)))
+        cis = co
+
+    rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
+    rows_in = rows_out[0] + 2 * pads[0]
+
+    kern = functools.partial(_conv2d_chain_kernel, r_fold=r_fold,
+                             layers=layers, h=h, relu_flags=relu_flags,
+                             valid_w=vw)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    args = [x]
+    for l, (k, ci_e, co, gg, slot, nblk) in enumerate(layers):
+        in_rows = rows_out[l] + k - 1
+        in_specs += [
+            pl.BlockSpec((rows_out[l] * co, in_rows * nblk * slot),
+                         lambda i, j, l=l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_out[l] * co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_out[l] * co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [wfs[l], sc2[l], of2[l]]
+
+    scratch = [pltpu.VMEM((2, rows_in, ci, wq), x.dtype)]
+    for l, (k, ci_e, co, gg, slot, nblk) in enumerate(layers):
+        in_rows = rows_out[l] + k - 1
+        scratch.append(pltpu.VMEM((in_rows, nblk * slot, wp), x.dtype))
+    for l in range(nlayers - 1):
+        _, _, co, _, _, _ = layers[l]
+        scratch.append(pltpu.VMEM((rows_out[l], co, wq), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n, n_hb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_fold * co_last, wp),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_hb * r_fold * co_last, wp),
+                                       x.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(n, n_hb * r_fold, co_last, wp)
+    return out[:, :h] if keep_wpad else out[:, :h, :, :w]

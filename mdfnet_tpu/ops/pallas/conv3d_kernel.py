@@ -34,7 +34,7 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                  offset_ref,       # (1, Co) VMEM f32
                  out_ref,          # (1, Th, Co, Wp) VMEM block
                  slab, sems,       # scratch (2, 3, s*Th+2, 3Ci, Wp), DMA sems
-                 *, th: int, stride: int):
+                 *, th: int, stride: int, wvalid: int = 0):
     """Stride-2 path: consumes the host-side parity-stacked input."""
     d = pl.program_id(0)
     hb = pl.program_id(1)
@@ -76,155 +76,283 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+        if 0 < wvalid < wp:
+            yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            y = y * (yi < wvalid).astype(y.dtype)
         out_ref[0, hh] = y.astype(out_ref.dtype)
 
 
+def _axis_specials(nblk_ax: int, blk: int, size: int):
+    """Per-block (dst0, src0, length) copy geometry for a 1-halo axis; only
+    blocks whose [v*blk - 1, v*blk - 1 + blk + 2) window leaves [0, size)
+    appear (the rest use the generic traced-offset copy)."""
+    out = {}
+    for v in range(nblk_ax):
+        s0 = v * blk - 1
+        dst0 = max(0, -s0)
+        s0 = max(0, s0)
+        length = min(blk + 2 - dst0, size - s0)
+        if dst0 != 0 or length != blk + 2:
+            out[v] = (dst0, s0, length)
+    return out
+
+
 def _conv_kernel_unstacked(
-        x_ref,            # (Dp, Hp, ci_e, Wq) ANY/HBM raw padded input
-        w_ref,            # (3, Co, 3*nblk*sub) VMEM (dy-major; dz in K)
+        x_ref,            # (D, H, ci_e, Wp) ANY/HBM — UNPADDED rows/planes
+        w_ref,            # (3, Co, 3*nblk*sub) VMEM (dz outer; dy in K)
         scale_ref,        # (1, Co) VMEM f32
         offset_ref,       # (1, Co) VMEM f32
-        out_ref,          # (1, Th, Co, Wp) VMEM block
-        slab, taps, sems,  # (2, 3, Th+2, ci_e, Wq), (Th+2, 3*nblk*sub, Wp)
-        *, th: int, gg: int, nblk: int):
-    """Stride-1 path: raw slab DMA + in-VMEM lane-roll taps."""
+        out_ref,          # (Td, Th, Co, Wp) VMEM block
+        slab, taps, sems,  # (2, Td+2, Th+2, ci_e, Wq), (Td+2, Th+2, Z, Wp)
+        *, th: int, td: int, gg: int, nblk: int, d: int, h: int,
+        wvalid: int = 0):
+    """Stride-1 v2: Td output planes + Th output rows per grid step, with
+    BOTH pad axes handled in-kernel (no host-side pad copy of the volume)
+    and the (Td+2)-plane slab amortising the D-halo re-reads (v1 re-DMA'd
+    every input plane 3x). Taps are stored row-major-by-Z so the dy taps of
+    one output row are a CONTIGUOUS (3Z, Wp) sublane slice — 3 matmuls per
+    output row, dy riding the contraction."""
     from mdfnet_tpu.ops.pallas.conv2d_kernel import _shift_lanes_left
 
-    d = pl.program_id(0)
+    db = pl.program_id(0)
     hb = pl.program_id(1)
+    n_db = pl.num_programs(0)
     n_hb = pl.num_programs(1)
-    n = pl.num_programs(0) * n_hb
+    n = n_db * n_hb
     rows = th + 2
+    planes = td + 2
+    ci_e = slab.shape[3]
+    wq = slab.shape[-1]
+    wp = taps.shape[-1]
+    z = taps.shape[2]             # nblk*sub
+    sub = z // nblk
 
-    def dma(slot, dd, hh):
-        return pltpu.make_async_copy(
-            x_ref.at[pl.ds(dd, 3), pl.ds(hh * th, rows)],
-            slab.at[slot],
-            sems.at[slot],
-        )
+    dsp = _axis_specials(n_db, td, d)
+    hsp = _axis_specials(n_hb, th, h)
 
-    i = d * n_hb + hb
+    def issue(what, slot, dd, hh):
+        def go(dspec, hspec):
+            ddst, ds0, dlen = dspec
+            hdst, hs0, hlen = hspec
+            cp = pltpu.make_async_copy(
+                x_ref.at[pl.ds(ds0, dlen), pl.ds(hs0, hlen)],
+                slab.at[slot, pl.ds(ddst, dlen), pl.ds(hdst, hlen), :,
+                        pl.ds(0, wp)],
+                sems.at[slot])
+            if what == "start":
+                cp.start()
+            else:
+                cp.wait()
+
+        def zero(spec):
+            if what != "start":
+                return
+            ddst, _, dlen = spec[0]
+            hdst, _, hlen = spec[1]
+            if ddst:
+                slab[slot, 0:ddst] = jnp.zeros(
+                    (ddst,) + slab.shape[2:], slab.dtype)
+            if ddst + dlen < planes:
+                slab[slot, ddst + dlen:planes] = jnp.zeros(
+                    (planes - ddst - dlen,) + slab.shape[2:], slab.dtype)
+            if hdst:
+                slab[slot, :, 0:hdst] = jnp.zeros(
+                    (planes, hdst) + slab.shape[3:], slab.dtype)
+            if hdst + hlen < rows:
+                slab[slot, :, hdst + hlen:rows] = jnp.zeros(
+                    (planes, rows - hdst - hlen) + slab.shape[3:],
+                    slab.dtype)
+
+        dvars = list(dsp.items()) + [(None, None)]
+        hvars = list(hsp.items()) + [(None, None)]
+        for dv, dspec in dvars:
+            for hv, hspec in hvars:
+                dcond = (dd >= 0) if dv is None else (dd == dv)
+                if dv is None:
+                    for u in dsp:
+                        dcond = dcond & (dd != u)
+                hcond = (hh >= 0) if hv is None else (hh == hv)
+                if hv is None:
+                    for u in hsp:
+                        hcond = hcond & (hh != u)
+                ds_ = dspec or (0, dd * td - 1, planes)
+                hs_ = hspec or (0, hh * th - 1, rows)
+                # skip impossible combos statically
+                if dv is None and not (len(dsp) < n_db):
+                    continue
+                if hv is None and not (len(hsp) < n_hb):
+                    continue
+
+                @pl.when(dcond & hcond)
+                def _(ds_=ds_, hs_=hs_):
+                    zero((ds_, hs_))
+                    go(ds_, hs_)
+
+    i = db * n_hb + hb
 
     @pl.when(i == 0)
     def _():
-        dma(0, d, hb).start()
+        if wp != wq:
+            slab[:, :, :, :, wp:] = jnp.zeros(
+                slab.shape[:4] + (wq - wp,), slab.dtype)
+        issue("start", 0, 0, 0)
 
     @pl.when(i + 1 < n)
     def _():
-        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
+        issue("start", (i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb)
 
-    dma(i % 2, d, hb).wait()
-    blk = slab[i % 2]          # (3, rows, ci_e, Wq); col j = src col j-128
-    ci_e = blk.shape[2]
-    wp = taps.shape[-1]
+    issue("wait", i % 2, db, hb)
 
-    z = taps.shape[1] // 3        # nblk*sub: one dz segment of K
-    sub = z // nblk
-    for b in range(nblk):
-        parts = []
-        for t in range(gg):
-            dx = b * gg + t
-            if dx < 3:
-                parts.append(_shift_lanes_left(blk, 127 + dx)[..., :wp])
-            else:
-                parts.append(jnp.zeros(blk.shape[:2] + (ci_e, wp),
-                                       blk.dtype))
-        block = (parts[0] if len(parts) == 1
-                 else jnp.concatenate(parts, axis=2))
-        if block.shape[2] < sub:
-            block = jnp.pad(block, ((0, 0), (0, 0),
-                                    (0, sub - block.shape[2]), (0, 0)))
-        for dz in range(3):
-            taps[:, dz * z + b * sub:dz * z + (b + 1) * sub, :] = block[dz]
+    for j in range(planes):
+        plane = slab[i % 2, j]     # (rows, ci_e, Wq)
+        for b in range(nblk):
+            parts = []
+            for t in range(gg):
+                dx = b * gg + t
+                if dx < 3:
+                    parts.append(
+                        _shift_lanes_left(plane, dx - 1)[..., :wp])
+                else:
+                    parts.append(jnp.zeros((rows, ci_e, wp), plane.dtype))
+            block = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=1))
+            if block.shape[1] < sub:
+                block = jnp.pad(block,
+                                ((0, 0), (0, sub - block.shape[1]), (0, 0)))
+            taps[j, :, b * sub:(b + 1) * sub] = block
 
     scale = scale_ref[0]
     offset = offset_ref[0]
     co = w_ref.shape[1]
 
-    for hh in range(th):
-        acc = jnp.zeros((co, wp), jnp.float32)
-        for dy in range(3):
-            # dz rides the contraction: one (Co, 3*Z) x (3*Z, Wp) matmul
-            acc = acc + jax.lax.dot_general(
-                w_ref[dy], taps[hh + dy],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
-        out_ref[0, hh] = y.astype(out_ref.dtype)
+    for jo in range(td):
+        for hh in range(th):
+            acc = jnp.zeros((co, wp), jnp.float32)
+            for dz in range(3):
+                # (3, Z, Wp) -> (3Z, Wp): rows hh..hh+2's Z-blocks are
+                # contiguous sublane tiles, so the merge is a free view
+                t3 = taps[jo + dz, hh:hh + 3].reshape(3 * z, wp)
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dz], t3,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+            if 0 < wvalid < wp:
+                yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                y = y * (yi < wvalid).astype(y.dtype)
+            out_ref[jo, hh] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "stride", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "td", "stride", "valid_w",
+                                             "keep_wpad", "interpret"))
 def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
-                   offset: jnp.ndarray, *, th: int = 16, stride: int = 1,
+                   offset: jnp.ndarray, *, th: int = 16, td: int = 4,
+                   stride: int = 1, valid_w: int | None = None,
+                   keep_wpad: bool = False,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused conv3d (stride 1 or isotropic 2) + scale/offset + relu on
     (D, H, C, W) layout.
 
     Args:
-        x: (D, H, Ci, W).
+        x: (D, H, Ci, W). W may be the true width OR its 128-aligned
+            extent with ``valid_w`` set (junk pad columns allowed only for
+            stride 1, which masks its own output; producers created by
+            this kernel with ``keep_wpad`` zero theirs).
         kernel: (3, 3, 3, Ci, Co) conv weights (as stored by ConvND).
         scale, offset: (Co,) folded BN (scale = gamma/rsqrt(var+eps),
             offset = beta - mean*scale).
+        keep_wpad: return the full 128-aligned lane extent, with the pad
+            columns ZEROED, for the next fused consumer.
     Returns:
-        (D_out, H_out, Co, W_out) with *_out = ceil(*/stride).
+        (D_out, H_out, Co, W_out) with *_out = ceil(*/stride)
+        (W_out -> its 128-aligned extent under ``keep_wpad``).
     """
-    d, h, ci, w = x.shape
+    d, h, ci, w_in = x.shape
+    vw = valid_w or w_in
     co = kernel.shape[-1]
     d_out = -(-d // stride)
     h_out = -(-h // stride)
-    w_out = -(-w // stride)
-    h_out_pad = -(-h_out // th) * th
+    w_out = -(-vw // stride)
     wp = -(-w_out // 128) * 128
 
     if stride == 1:
+        # v2: in-kernel D/H zero padding (no host pad copy), Td planes per
+        # step (the v1 per-plane grid re-read every plane 3x)
+        wpi = -(-vw // 128) * 128
+        assert w_in in (vw, wpi), (w_in, vw)
+        if w_in != wpi:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wpi - w_in)))
         sub = 16 if x.dtype == jnp.bfloat16 else 8
         align = 4 if x.dtype == jnp.bfloat16 else 8
         ci_e = -(-ci // align) * align
+        if ci_e != ci:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ci_e - ci), (0, 0)))
         if ci_e < sub and sub % ci_e == 0:
             gg, slot = sub // ci_e, sub
         else:
             gg, slot = 1, -(-ci_e // sub) * sub
         nblk = -(-3 // gg)
-        wq = wp + 256
-        xq = jnp.pad(x, ((1, 1), (1, 1 + h_out_pad - h), (0, ci_e - ci),
-                         (128, wq - 128 - w)))
-        k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
         z = nblk * slot
-        k3p = jnp.zeros((3, co, 3 * z), x.dtype)  # (dy, co, dz-major K)
-        for dz in range(3):
+        wq = wp + 128
+        th_ = min(th, h)
+        td_ = max(1, min(td, d))
+        bpe = 2 if x.dtype == jnp.bfloat16 else 4
+
+        def vmem_est(tdv, thv):
+            return (2 * (tdv + 2) * (thv + 2) * ci_e * wq * bpe
+                    + (tdv + 2) * (thv + 2) * z * wp * bpe
+                    + 2 * tdv * thv * co * wp * bpe)
+
+        while td_ > 1 and vmem_est(td_, th_) > 11e6:
+            td_ -= 1
+        while th_ > 4 and vmem_est(td_, th_) > 11e6:
+            th_ //= 2
+        n_db = -(-d // td_)
+        n_hb = -(-h // th_)
+
+        k9 = jnp.transpose(kernel, (0, 1, 2, 4, 3)).reshape(3, 3, 3, co, ci)
+        k3p = jnp.zeros((3, co, 3 * z), x.dtype)  # (dz, co, dy-major K)
+        for dy in range(3):
             for dx in range(3):
-                off = dz * z + (dx // gg) * slot + (dx % gg) * ci_e
+                off = dy * z + (dx // gg) * slot + (dx % gg) * ci_e
                 k3p = k3p.at[:, :, off:off + ci].set(
-                    k9[dz, :, dx].astype(x.dtype))
+                    k9[:, dy, dx].astype(x.dtype))
         scale2 = scale.reshape(1, co).astype(jnp.float32)
         offset2 = offset.reshape(1, co).astype(jnp.float32)
-        kern = functools.partial(_conv_kernel_unstacked, th=th, gg=gg,
-                                 nblk=nblk)
+        kern = functools.partial(_conv_kernel_unstacked, th=th_, td=td_,
+                                 gg=gg, nblk=nblk, d=d, h=h,
+                                 wvalid=vw if keep_wpad else 0)
         out = pl.pallas_call(
             kern,
-            grid=(d_out, h_out_pad // th),
+            grid=(n_db, n_hb),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((3, co, 3 * nblk * slot),
-                             lambda i, j: (0, 0, 0),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((3, co, 3 * z), lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, co), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, co), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, th, co, wp), lambda i, j: (i, j, 0, 0),
+            out_specs=pl.BlockSpec((td_, th_, co, wp),
+                                   lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((d_out, h_out_pad, co, wp),
+            out_shape=jax.ShapeDtypeStruct((n_db * td_, n_hb * th_, co, wp),
                                            x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, th + 2, ci_e, wq), x.dtype),
-                pltpu.VMEM((th + 2, 3 * nblk * slot, wp), x.dtype),
+                pltpu.VMEM((2, td_ + 2, th_ + 2, ci_e, wq), x.dtype),
+                pltpu.VMEM((td_ + 2, th_ + 2, z, wp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(xq, k3p, scale2, offset2)
-        return out[:, :h_out, :, :w_out]
+        )(x, k3p, scale2, offset2)
+        out = out[:d_out, :h_out]
+        return out if keep_wpad else out[:, :, :, :w_out]
+
+    if w_in != vw:
+        x = x[..., :vw]  # fused into the parity-stack copy below
+    w = vw
+    h_out_pad = -(-h_out // th) * th
 
     if True:
         # stride 2: tap columns for output w are x[2w-1], x[2w], x[2w+1] —
@@ -248,7 +376,8 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     scale2 = scale.reshape(1, co).astype(jnp.float32)
     offset2 = offset.reshape(1, co).astype(jnp.float32)
 
-    kern = functools.partial(_conv_kernel, th=th, stride=stride)
+    kern = functools.partial(_conv_kernel, th=th, stride=stride,
+                             wvalid=w_out if keep_wpad else 0)
     out = pl.pallas_call(
         kern,
         grid=(d_out, h_out_pad // th),
@@ -270,11 +399,13 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         ],
         interpret=interpret,
     )(x3, k9, scale2, offset2)
-    return out[:, :h_out, :, :w_out]
+    out = out[:, :h_out]
+    return out if keep_wpad else out[:, :, :, :w_out]
 
 
 def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                      offset: jnp.ndarray, *, th: int = 8,
+                     valid_w: int | None = None, keep_wpad: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused ConvTranspose3d(3,stride 2,pad 1,out_pad 1) + BN(eval) + ReLU.
 
@@ -292,7 +423,8 @@ def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     Returns:
         (2D, 2H, Co, 2W).
     """
-    d, h, ci, w = x.shape
+    d, h, ci, w_in = x.shape
+    w = valid_w or w_in
     co = kernel.shape[3]
     # equivalent forward-conv kernel: flip spatial, swap (Co, Ci) -> (Ci, Co)
     wf = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
@@ -314,7 +446,10 @@ def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                 kernels.append(kp)
     k_all = jnp.concatenate(kernels, axis=-1)        # (3,3,3,Ci,8Co)
     y = conv3d_bn_relu(x, k_all, jnp.tile(scale, 8), jnp.tile(offset, 8),
-                       th=th, interpret=interpret)   # (D, H, 8Co, W)
-    y = y.reshape(d, h, 2, 2, 2, co, w)
-    y = y.transpose(0, 2, 1, 3, 5, 6, 4)             # (D,2,H,2,Co,W,2)
-    return y.reshape(2 * d, 2 * h, co, 2 * w)
+                       th=th, valid_w=valid_w, keep_wpad=keep_wpad,
+                       interpret=interpret)          # (D, H, 8Co, Wy)
+    wy = y.shape[-1]
+    y = y.reshape(d, h, 2, 2, 2, co, wy)
+    y = y.transpose(0, 2, 1, 3, 5, 6, 4)             # (D,2,H,2,Co,Wy,2)
+    # junk cols (zeroed by the conv's wvalid mask) interleave to the tail
+    return y.reshape(2 * d, 2 * h, co, 2 * wy)

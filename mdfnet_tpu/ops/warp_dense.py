@@ -139,12 +139,14 @@ def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                           ref_proj: jnp.ndarray, depth_hypos: jnp.ndarray,
                           *, x_tile: int = 128, y_window: int = 16,
                           x_margin: int = 64, chunk_tiles: int = 512,
-                          out_h: int | None = None) -> jnp.ndarray:
+                          out_h: int | None = None,
+                          with_cover: bool = False) -> jnp.ndarray:
     """Drop-in twin of ops.warp.homography_warp on the dense matmul path.
 
-    Returns (B, D, H, W, C); see module docstring for the exactness
-    condition (checked but not enforced — use homography_warp for a
-    guaranteed-exact fallback).
+    Returns (B, D, H, W, C); with ``with_cover`` returns
+    ((B, D, H, W, C), cover) where cover is the exactness flag of the
+    module docstring — callers fall back to homography_warp (gather,
+    guaranteed exact) when it is False.
 
     out_h: reference-grid height when it differs from the source height —
     under spatial sharding the ref band is local while the source rows are
@@ -164,7 +166,8 @@ def homography_warp_dense(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
     x_eff = jax.lax.stop_gradient(x_eff).reshape(b, d * oh, w)
     y_eff = jax.lax.stop_gradient(y_eff).reshape(b, d * oh, w)
 
-    samples, _ = dense_sample_2d(src_feat, x_eff, y_eff, x_tile=x_tile,
-                                 y_window=y_window, x_margin=x_margin,
-                                 chunk_tiles=chunk_tiles)
-    return samples.reshape(b, d, oh, w, c)
+    samples, cover = dense_sample_2d(src_feat, x_eff, y_eff, x_tile=x_tile,
+                                     y_window=y_window, x_margin=x_margin,
+                                     chunk_tiles=chunk_tiles)
+    out = samples.reshape(b, d, oh, w, c)
+    return (out, cover) if with_cover else out

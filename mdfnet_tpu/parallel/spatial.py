@@ -66,14 +66,17 @@ def spatial_eval_forward(model, variables, mesh: Mesh, imgs, extrinsics,
         with halo.spatial_sharding(axis, n):
             out = model.apply(variables, band_imgs, extr, intr_shift,
                               drange, train=False)
-        return out["depth"], out["confidence"]
+        # replicated global coverage flag: every band's warp contract held
+        bad = jax.lax.psum(
+            (~out["coverage_ok"]).astype(jnp.int32), axis)
+        return out["depth"], out["confidence"], bad == 0
 
     fn = jax.shard_map(
         band_forward,
         mesh=mesh,
         in_specs=(P(None, None, axis, None, None), P(), P(), P()),
-        out_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=(P(None, axis, None), P(None, axis, None), P()),
         check_vma=False,
     )
-    depth, conf = fn(imgs, extrinsics, intrinsics, depth_range)
-    return {"depth": depth, "confidence": conf}
+    depth, conf, cover = fn(imgs, extrinsics, intrinsics, depth_range)
+    return {"depth": depth, "confidence": conf, "coverage_ok": cover}

@@ -61,9 +61,10 @@ def test_rowsweep_matches_vector_aggregate(rng):
     cover = rowsweep_cover(src_projs[0], ref_proj[0], hypos[0], h, w)
     assert bool(cover), "test geometry must satisfy the y-window contract"
 
-    out = rowsweep_aggregate(diffs_hcw[1:], q, src_projs[0], ref_proj[0],
-                             hypos[0], k0, bn_scale, bn_offset, k1, b1,
-                             interpret=True)
+    out, kcover = rowsweep_aggregate(
+        diffs_hcw[1:], q, src_projs[0], ref_proj[0],
+        hypos[0], k0, bn_scale, bn_offset, k1, b1, interpret=True)
+    assert bool(kcover)
     # (D, H, C, Wp) -> (B, D, H, W, C)
     out_bdhwc = jnp.transpose(out[:, :, :, :w], (0, 1, 3, 2))[None]
     np.testing.assert_allclose(np.asarray(out_bdhwc), np.asarray(ref_vol),
@@ -96,9 +97,10 @@ def test_rowsweep_broadcast_hypos(rng):
     k1 = p["conv1"]["kernel"][0, 0, 0, 0, 0]
     b1 = p["conv1"]["bias"][0]
 
-    out = rowsweep_aggregate(diffs_hcw[1:], q, src_projs[0], ref_proj[0],
-                             hypos[0], k0, bn_scale, bn_offset, k1, b1,
-                             interpret=True)
+    out, kcover = rowsweep_aggregate(
+        diffs_hcw[1:], q, src_projs[0], ref_proj[0],
+        hypos[0], k0, bn_scale, bn_offset, k1, b1, interpret=True)
+    assert bool(kcover)
     out_bdhwc = jnp.transpose(out[:, :, :, :w], (0, 1, 3, 2))[None]
     np.testing.assert_allclose(np.asarray(out_bdhwc), np.asarray(ref_vol),
                                atol=2e-3, rtol=2e-2)

@@ -16,12 +16,29 @@ pytestmark = pytest.mark.slow
 
 def _interpret_conv2d():
     orig = conv2d_kernel.conv2d_fused
+    orig_chain = conv2d_kernel.conv2d_chain_fused
 
-    def forced(x, k, s, o, th=8, stride=1, relu=True, interpret=False):
-        return orig(x, k, s, o, th=th, stride=stride, relu=relu,
-                    interpret=True)
+    def forced(x, k, s, o, **kw):
+        kw["interpret"] = True
+        return orig(x, k, s, o, **kw)
 
-    return mock.patch.object(conv2d_kernel, "conv2d_fused", forced)
+    def forced_chain(*args, **kw):
+        kw["interpret"] = True
+        return orig_chain(*args, **kw)
+
+    p1 = mock.patch.object(conv2d_kernel, "conv2d_fused", forced)
+    p2 = mock.patch.object(conv2d_kernel, "conv2d_chain_fused", forced_chain)
+
+    class _Both:
+        def __enter__(self):
+            p1.__enter__()
+            p2.__enter__()
+
+        def __exit__(self, *a):
+            p2.__exit__(*a)
+            p1.__exit__(*a)
+
+    return _Both()
 
 
 def test_fpn_pallas_matches_xla(rng):

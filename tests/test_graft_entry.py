@@ -21,7 +21,7 @@ def test_entry_compiles_and_runs():
     g = _load_graft()
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert set(out) == {"depth", "confidence"}
+    assert {"depth", "confidence"} <= set(out)
     depth = np.asarray(out["depth"])
     assert depth.ndim == 3 and np.isfinite(depth).all()
 

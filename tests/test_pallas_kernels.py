@@ -67,8 +67,10 @@ def test_conv3d_bn_relu_via_module(rng):
 
     orig = conv3d_kernel.conv3d_bn_relu
 
-    def forced(x_, k_, s_, o_, th=8, stride=1, interpret=False):
-        return orig(x_, k_, s_, o_, th=8, stride=stride, interpret=True)
+    def forced(x_, k_, s_, o_, **kw):
+        kw["interpret"] = True
+        kw.setdefault("th", 8)
+        return orig(x_, k_, s_, o_, **kw)
 
     with mock.patch.object(conv3d_kernel, "conv3d_bn_relu", forced):
         out_pal = m_pal.apply(v, x)
@@ -90,8 +92,10 @@ def test_trconv3d_bn_relu_matches_module(rng):
 
     orig = conv3d_kernel.conv3d_bn_relu
 
-    def forced(x_, k_, s_, o_, th=8, interpret=False):
-        return orig(x_, k_, s_, o_, th=4, interpret=True)
+    def forced(x_, k_, s_, o_, **kw):
+        kw["interpret"] = True
+        kw["th"] = 4
+        return orig(x_, k_, s_, o_, **kw)
 
     with mock.patch.object(conv3d_kernel, "conv3d_bn_relu", forced):
         out_pal = m_pal.apply(v, x)

@@ -99,7 +99,7 @@ def main():
                 jnp.linspace(500, 700, d)[None, :, None, None],
                 (B, d, h, w)).astype(jnp.float32)
 
-        hcw_diffs = [jnp.transpose(f[..., 0::2] - f[..., 1::2], (0, 2, 3, 1))
+        hcw_diffs = [jnp.transpose(f[..., 0::2] - f[..., 1::2], (0, 1, 3, 2))
                      for f in feats]  # (B, H, G, W)
         agg = VectorAggregate(g, dtype=dtype, warp_impl="fused")
         agg_vars = agg.init(rng, feats, ref_proj, src_projs, hypos,
