@@ -71,10 +71,25 @@ def main(argv=None):
                              "(exact halo-exchange sharding; 1/N HBM per "
                              "device). Requires H %% (N*32) == 0 and the "
                              "XLA conv path (disables Pallas fast paths)")
+    parser.add_argument("--exact", action="store_true",
+                        help="force the slow guaranteed-exact f32 gather "
+                             "path instead of the platform's fast config")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
-    model = build_model(ModelConfig())
+    # Fast path by default on TPU: the fused Pallas pipeline (bf16 conv
+    # compute, f32 softmax/fitting — the bench.py configuration). The warp
+    # coverage contracts are checked per item at runtime and violating
+    # items re-run on the exact gather path (run_eval), so the speed is
+    # free of silent-corruption risk. CPU and --spatial keep the XLA path.
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if args.exact:
+        model = build_model(ModelConfig(warp_impl="gather"))
+    elif on_tpu and args.spatial <= 1:
+        model = build_model(ModelConfig(compute_dtype="bfloat16",
+                                        warp_impl="fused", pallas_conv=True))
+    else:
+        model = build_model(ModelConfig())
 
     def align_crop(h: int) -> int:
         """Spatial sharding needs band starts on the deepest conv grid

@@ -39,6 +39,10 @@ def main(argv=None):
     parser.add_argument("-e", "--eval_dir", default="outputs")
     parser.add_argument("-o", "--out_dir", default="plys")
     parser.add_argument("--scans", default=None)
+    parser.add_argument("--photo-thresh", type=float, default=None,
+                        help="photometric confidence threshold override "
+                             "(default: the reference's per-method value; "
+                             "lower it for weakly-trained checkpoints)")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
@@ -68,8 +72,9 @@ def main(argv=None):
         if args.method == "filter":
             from mdfnet_tpu.fusion.dynamic_filter import fuse_scan
             fuse_scan(scan_dir, eval_dir, out_ply, cam_folder=cam_folder,
-                      photo_thresh=0.8, nconditions=nconditions,
-                      log_fn=log.info)
+                      photo_thresh=(0.8 if args.photo_thresh is None
+                                    else args.photo_thresh),
+                      nconditions=nconditions, log_fn=log.info)
         elif args.method == "vote":
             from mdfnet_tpu.fusion.consistency_vote import fuse_scan_vote
             from mdfnet_tpu.fusion.presets import vote_preset
@@ -77,13 +82,16 @@ def main(argv=None):
             preset = vote_preset(
                 "dtu" if args.dataset == "dtu" else args.set, scene_name)
             log.info("vote preset for %s: %s", scene_name, preset)
+            if args.photo_thresh is not None:
+                preset = dict(preset, prob_thresh=args.photo_thresh)
             fuse_scan_vote(scan_dir, eval_dir, out_ply, cam_folder=cam_folder,
                            log_fn=log.info, **preset)
         else:
             from mdfnet_tpu.fusion.pcd_fusion import fuse_scan_pcd
             fuse_scan_pcd(scan_dir, eval_dir, out_ply, cam_folder=cam_folder,
-                          prob_thresh=0.8, nviews=10, vthresh=4,
-                          log_fn=log.info)
+                          prob_thresh=(0.8 if args.photo_thresh is None
+                                       else args.photo_thresh),
+                          nviews=10, vthresh=4, log_fn=log.info)
 
 
 if __name__ == "__main__":

@@ -43,12 +43,14 @@ from mdfnet_tpu.ops.sample import bilinear_sample_2d
 
 @partial(jax.jit, static_argnames=("disp_thresh", "num_consistent"))
 def consistency_vote(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es,
+                     src_valid=None,
                      disp_thresh: float = 0.25, num_consistent: int = 3):
     """One ref view's vote against all srcs.
 
     Args:
         ref_depth: (H, W) prob-filtered depth (0 = invalid).
         src_depths: (S, H, W); cams batched likewise.
+        src_valid: optional (S,) bool mask for pad-to-max-S sources.
     Returns:
         points: (H*W, 3) averaged world points;
         accept: (H*W,) bool — n_consistent >= num_consistent and ref valid.
@@ -86,6 +88,9 @@ def consistency_vote(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es,
         return ok, jnp.where(ok[None], world_s, 0.0)
 
     oks, worlds = jax.vmap(per_src)(src_depths, src_ks, src_es)
+    if src_valid is not None:
+        oks = oks & src_valid[:, None]
+        worlds = jnp.where(oks[:, None], worlds, 0.0)
     n_consistent = oks.sum(0)  # (N,)
     avg = (x_world + worlds.sum(0)) / (n_consistent + 1)[None]
     accept = (n_consistent >= num_consistent) & (ref_depth.reshape(-1) > 0)
@@ -98,38 +103,48 @@ def fuse_scan_vote(scan_dir: str, eval_dir: str, out_ply: str,
                    num_consistent: int = 3, log_fn=print) -> np.ndarray:
     """Fuse a scan with the consistency vote (every view acts as ref once,
     like fusibile's host loop over cameras, main.cpp:787-800)."""
+    from mdfnet_tpu.fusion.view_store import ViewStore, pad_sources
+
     _, pairs = read_pair_file(_find_pair_file(scan_dir))
     view_ids = [ref for ref, _ in pairs]
+    id_set = set(view_ids)
+    max_s = max(len([s for s in srcs if s in id_set]) for _, srcs in pairs)
 
-    depths, cams_k, cams_e, imgs = {}, {}, {}, {}
-    for vid in view_ids:
+    def load_view(vid):
         d = read_pfm(os.path.join(eval_dir, "depth_est", f"{vid:08d}.pfm"))[0]
-        conf = read_pfm(os.path.join(eval_dir, "confidence", f"{vid:08d}.pfm"))[0]
-        d = np.where(conf >= prob_thresh, d, 0.0).astype(np.float32)
-        depths[vid] = d
+        conf = read_pfm(os.path.join(eval_dir, "confidence",
+                                     f"{vid:08d}.pfm"))[0]
         k, e, _ = read_cam_file(os.path.join(scan_dir, cam_folder,
                                              f"{vid:08d}_cam.txt"))
-        cams_k[vid], cams_e[vid] = k, e
-        imgs[vid] = read_image(os.path.join(scan_dir, img_folder,
-                                            f"{vid:08d}.jpg"))
+        return {"depth": np.where(conf >= prob_thresh, d, 0.0)
+                .astype(np.float32), "k": k, "e": e}
 
+    store = ViewStore(load_view, maxsize=4 * max_s)
     verts: List[np.ndarray] = []
     colors: List[np.ndarray] = []
     for ref, srcs in pairs:
-        src_ids = [s for s in srcs if s in depths]
+        src_ids = [s for s in srcs if s in id_set]
+        rv = store.get(ref)
+        svs = [store.get(s) for s in src_ids]
+        (sd, sk, se), src_valid = pad_sources(
+            [np.stack([v["depth"] for v in svs]),
+             np.stack([v["k"] for v in svs]),
+             np.stack([v["e"] for v in svs])], max_s)
         pts, accept = consistency_vote(
-            jnp.asarray(depths[ref]), jnp.asarray(cams_k[ref]),
-            jnp.asarray(cams_e[ref]),
-            jnp.asarray(np.stack([depths[s] for s in src_ids])),
-            jnp.asarray(np.stack([cams_k[s] for s in src_ids])),
-            jnp.asarray(np.stack([cams_e[s] for s in src_ids])),
+            jnp.asarray(rv["depth"]), jnp.asarray(rv["k"]),
+            jnp.asarray(rv["e"]), jnp.asarray(sd), jnp.asarray(sk),
+            jnp.asarray(se), jnp.asarray(src_valid),
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent))
         pts = np.asarray(pts)
         accept = np.asarray(accept)
-        h, w = depths[ref].shape
+        h, w = rv["depth"].shape
         if accept.any():
+            # the ref image is used exactly once — loaded on demand as
+            # uint8-scaled colors, never resident for the whole scan
+            img = read_image(os.path.join(scan_dir, img_folder,
+                                          f"{ref:08d}.jpg"))
             verts.append(pts[accept].astype(np.float32))
-            colors.append((imgs[ref][:h, :w].reshape(-1, 3)[accept] * 255)
+            colors.append((img[:h, :w].reshape(-1, 3)[accept] * 255)
                           .astype(np.uint8))
         if log_fn:
             log_fn(f"view {ref:>3}: {int(accept.sum())} points")

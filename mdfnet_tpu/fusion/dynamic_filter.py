@@ -66,11 +66,15 @@ def reproject_depth(ref_depth, ref_k, ref_e, src_depth, src_k, src_e):
 
 @partial(jax.jit, static_argnames=("thre1", "thre2"))
 def geometric_consistency(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es,
+                          src_valid=None,
                           thre1: float = 4.0, thre2: float = 1300.0):
     """All-src geometric consistency in one vmapped pass.
 
     Args:
         ref_depth: (H, W); src_depths: (S, H, W); cams batched likewise.
+        src_valid: optional (S,) bool — padded sources contribute nothing
+            (pad-to-max-S keeps ONE jit specialisation for variable-src
+            pair files instead of a retrace per count).
     Returns:
         counts: (9, H, W) int32 — per-rung agreement counts over srcs.
         strict_mask_sum: (H, W) int32 — count of srcs passing the strictest
@@ -94,6 +98,11 @@ def geometric_consistency(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es,
             jnp.where(final, d_re, 0.0)
 
     masks, finals, depths = jax.vmap(per_src)(src_depths, src_ks, src_es)
+    if src_valid is not None:
+        v = src_valid.astype(masks.dtype)[:, None, None, None]
+        masks = masks * v
+        finals = finals * v[:, 0]
+        depths = depths * src_valid.astype(depths.dtype)[:, None, None]
     return masks.sum(0), finals.sum(0), depths.sum(0)
 
 
@@ -101,11 +110,13 @@ def fuse_view(ref_depth: np.ndarray, confidence: np.ndarray,
               ref_k: np.ndarray, ref_e: np.ndarray,
               src_depths: np.ndarray, src_ks: np.ndarray, src_es: np.ndarray,
               photo_thresh: float = 0.8, nconditions: int = 5,
-              thre1: float = 4.0, thre2: float = 1300.0):
+              thre1: float = 4.0, thre2: float = 1300.0,
+              src_valid: np.ndarray | None = None):
     """One ref view's filtered depth + masks (all numpy in/out)."""
     counts, strict_sum, depth_sum = geometric_consistency(
         jnp.asarray(ref_depth), jnp.asarray(ref_k), jnp.asarray(ref_e),
         jnp.asarray(src_depths), jnp.asarray(src_ks), jnp.asarray(src_es),
+        None if src_valid is None else jnp.asarray(src_valid),
         thre1=float(thre1), thre2=float(thre2))
     counts = np.asarray(counts)
     strict_sum = np.asarray(strict_sum)
@@ -132,36 +143,42 @@ def fuse_scan(scan_dir: str, eval_dir: str, out_ply: str,
     PFMs from `eval_dir`; writes masks + filtered depth (if filter_folder)
     and the fused cloud to `out_ply`.
     """
+    from mdfnet_tpu.fusion.view_store import ViewStore, pad_sources
+
     _, pairs = read_pair_file(_find_pair_file(scan_dir))
     if filter_folder:
         ensure_dir(filter_folder)
+    max_s = max(len(srcs) for _, srcs in pairs)
 
+    def load_view(vid):
+        k, e, _ = read_cam_file(os.path.join(
+            scan_dir, cam_folder, f"{vid:08d}_cam.txt"))
+        return {"depth": read_pfm(os.path.join(
+                    eval_dir, "depth_est", f"{vid:08d}.pfm"))[0],
+                "k": k, "e": e}
+
+    store = ViewStore(load_view, maxsize=4 * max_s)
     verts: List[np.ndarray] = []
     colors: List[np.ndarray] = []
     for ref_view, src_views in pairs:
         t0 = time.time()
-        ref_depth = read_pfm(os.path.join(
-            eval_dir, "depth_est", f"{ref_view:08d}.pfm"))[0]
+        rv = store.get(ref_view)
+        ref_depth, ref_k, ref_e = rv["depth"], rv["k"], rv["e"]
         confidence = read_pfm(os.path.join(
             eval_dir, "confidence", f"{ref_view:08d}.pfm"))[0]
-        ref_k, ref_e, _ = read_cam_file(os.path.join(
-            scan_dir, cam_folder, f"{ref_view:08d}_cam.txt"))
         ref_img = read_image(os.path.join(
             scan_dir, img_folder, f"{ref_view:08d}.jpg"))
 
-        src_depths, src_ks, src_es = [], [], []
-        for sv in src_views:
-            src_depths.append(read_pfm(os.path.join(
-                eval_dir, "depth_est", f"{sv:08d}.pfm"))[0])
-            k, e, _ = read_cam_file(os.path.join(
-                scan_dir, cam_folder, f"{sv:08d}_cam.txt"))
-            src_ks.append(k)
-            src_es.append(e)
+        svs = [store.get(sv) for sv in src_views]
+        (src_depths, src_ks, src_es), src_valid = pad_sources(
+            [np.stack([v["depth"] for v in svs]),
+             np.stack([v["k"] for v in svs]),
+             np.stack([v["e"] for v in svs])], max_s)
 
         depth_avg, geo_mask, photo_mask, final_mask = fuse_view(
             ref_depth, confidence, ref_k, ref_e,
-            np.stack(src_depths), np.stack(src_ks), np.stack(src_es),
-            photo_thresh, nconditions, thre1, thre2)
+            src_depths, src_ks, src_es,
+            photo_thresh, nconditions, thre1, thre2, src_valid=src_valid)
 
         if filter_folder:
             write_mask_png(os.path.join(filter_folder,

@@ -70,7 +70,8 @@ def _nearest_sample(depth_map, x, y):
 
 
 @jax.jit
-def reproject_all(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es):
+def reproject_all(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es,
+                  src_valid=None):
     """Ref->src->ref reprojection for every src.
 
     Returns (x, y, d, in_range): each (S, H, W); (x, y) center-convention ref
@@ -94,7 +95,10 @@ def reproject_all(ref_depth, ref_k, ref_e, src_depths, src_ks, src_es):
         return (xr.reshape(h, w), yr.reshape(h, w), dr.reshape(h, w),
                 valid.reshape(h, w))
 
-    return jax.vmap(per_src)(src_depths, src_ks, src_es)
+    xr, yr, dr, rng = jax.vmap(per_src)(src_depths, src_ks, src_es)
+    if src_valid is not None:
+        rng = rng & src_valid[:, None, None]
+    return xr, yr, dr, rng
 
 
 @partial(jax.jit, static_argnames=("vthresh",))
@@ -123,7 +127,7 @@ def averaged_depth(ref_depth, dr, masks):
 
 @jax.jit
 def _candidates_and_violations(ref_depth, ref_k, ref_e,
-                               src_depths, src_ks, src_es):
+                               src_depths, src_ks, src_es, src_valid=None):
     """Build the z-buffer candidate set for one ref view.
 
     Candidates = ref's own pixels + every src pixel projected into ref
@@ -145,6 +149,8 @@ def _candidates_and_violations(ref_depth, ref_k, ref_e,
         return xr, yr, dr, src_depth.reshape(-1) > 1e-9
 
     xs, ys, ds, vs = jax.vmap(src_to_ref)(src_depths, src_ks, src_es)
+    if src_valid is not None:
+        vs = vs & src_valid[:, None]
     ref_flat = ref_depth.reshape(-1)
     x_all = jnp.concatenate([pix[0][None], xs], 0).reshape(-1)
     y_all = jnp.concatenate([pix[1][None], ys], 0).reshape(-1)
@@ -161,18 +167,23 @@ def _candidates_and_violations(ref_depth, ref_k, ref_e,
         d_s, _ = _nearest_sample(src_depth, xs_, ys_)
         return (d_s > dz).astype(jnp.int32)
 
-    vio = jax.vmap(violations)(src_depths, src_ks, src_es).sum(0)
+    vio = jax.vmap(violations)(src_depths, src_ks, src_es)
+    if src_valid is not None:
+        vio = vio * src_valid.astype(jnp.int32)[:, None]
+    vio = vio.sum(0)
     xy = jnp.stack([x_all, y_all], axis=1)
     return xy, d_all, vio, valid
 
 
 def zbuffer_fusion(ref_depth: np.ndarray, ref_k, ref_e,
-                   src_depths: np.ndarray, src_ks, src_es) -> np.ndarray:
+                   src_depths: np.ndarray, src_ks, src_es,
+                   src_valid=None) -> np.ndarray:
     """Occlusion-aware fused depth for one ref view (JAX candidates + native
     election)."""
     xy, d, vio, valid = _candidates_and_violations(
         jnp.asarray(ref_depth), jnp.asarray(ref_k), jnp.asarray(ref_e),
-        jnp.asarray(src_depths), jnp.asarray(src_ks), jnp.asarray(src_es))
+        jnp.asarray(src_depths), jnp.asarray(src_ks), jnp.asarray(src_es),
+        None if src_valid is None else jnp.asarray(src_valid))
     xy = np.asarray(xy)
     d = np.where(np.asarray(valid), np.asarray(d), 0.0).astype(np.float32)
     vio = np.asarray(vio)
@@ -209,105 +220,126 @@ def fuse_scan_pcd(scan_dir: str, eval_dir: str, out_ply: str,
                   seg_window: int = 4, seg_diff: float = 1e-3,
                   seg_size: int = 10, with_normals: bool = True,
                   log_fn=print) -> np.ndarray:
-    """Full pcd pipeline over a scan (twin of reference get_cloud)."""
+    """Full pcd pipeline over a scan (twin of reference get_cloud).
+
+    Memory-lean: per-view arrays live in a disk-spilling LRU ViewStore
+    (bounded host RSS at Tanks scale — the reference chunks its candidate
+    sets similarly, tools/pcd/fusion.py:88-97), images are loaded lazily at
+    the final color step only, and sources are padded to the scan's max
+    count so every consistency kernel compiles ONCE per scan.
+    """
+    from mdfnet_tpu.fusion.view_store import ViewStore, pad_sources
+
     _, pairs = read_pair_file(_find_pair_file(scan_dir))
     view_ids = [r for r, _ in pairs]
     srcs_of = {r: [s for s in srcs if s in view_ids][:nviews]
                for r, srcs in pairs}
+    max_s = max(len(v) for v in srcs_of.values())
 
-    views: Dict[int, Dict] = {}
-    for vid in view_ids:
+    def load_view(vid):
         d = read_pfm(os.path.join(eval_dir, "depth_est", f"{vid:08d}.pfm"))[0]
-        conf = read_pfm(os.path.join(eval_dir, "confidence", f"{vid:08d}.pfm"))[0]
+        conf = read_pfm(os.path.join(eval_dir, "confidence",
+                                     f"{vid:08d}.pfm"))[0]
         k, e, _ = read_cam_file(os.path.join(scan_dir, cam_folder,
                                              f"{vid:08d}_cam.txt"))
         mask = conf > prob_thresh
-        views[vid] = {"depth": (d * mask).astype(np.float32), "mask": mask,
-                      "k": k, "e": e,
-                      "img": read_image(os.path.join(scan_dir, img_folder,
-                                                     f"{vid:08d}.jpg"))}
+        return {"depth": (d * mask).astype(np.float32), "mask": mask,
+                "k": k, "e": e}
+
+    store = ViewStore(load_view, maxsize=4 * max_s)
+
+    def gather(vid):
+        rv = store.get(vid)
+        svs = [store.get(s) for s in srcs_of[vid]]
+        padded, valid = pad_sources(
+            [np.stack([v["depth"] for v in svs]),
+             np.stack([v["k"] for v in svs]),
+             np.stack([v["e"] for v in svs])], max_s)
+        return rv, padded, valid
 
     def batch_vis_filter():
-        update = {}
+        # two sweeps (compute from OLD depths, then apply) with the interim
+        # masks parked in the store so they spill with their views
         for vid in view_ids:
-            srcs = srcs_of[vid]
+            rv, (sd, sk, se), valid = gather(vid)
             xr, yr, dr, rng = reproject_all(
-                jnp.asarray(views[vid]["depth"]), jnp.asarray(views[vid]["k"]),
-                jnp.asarray(views[vid]["e"]),
-                jnp.asarray(np.stack([views[s]["depth"] for s in srcs])),
-                jnp.asarray(np.stack([views[s]["k"] for s in srcs])),
-                jnp.asarray(np.stack([views[s]["e"] for s in srcs])))
-            _, mask = visibility_masks(jnp.asarray(views[vid]["depth"]),
+                jnp.asarray(rv["depth"]), jnp.asarray(rv["k"]),
+                jnp.asarray(rv["e"]), jnp.asarray(sd), jnp.asarray(sk),
+                jnp.asarray(se), jnp.asarray(valid))
+            _, mask = visibility_masks(jnp.asarray(rv["depth"]),
                                        xr, yr, dr, rng, vthresh=vthresh)
-            update[vid] = np.asarray(mask)
+            store.update(vid, vnew=np.asarray(mask))
         for vid in view_ids:
-            views[vid]["mask"] &= update[vid]
-            views[vid]["depth"] *= views[vid]["mask"]
+            v = store.get(vid)
+            mask = v["mask"] & v["vnew"]
+            store.update(vid, mask=mask, depth=v["depth"] * mask,
+                         vnew=np.zeros((), np.uint8))
 
     batch_vis_filter()
 
     # z-buffer fusion
-    update = {}
     for vid in view_ids:
-        srcs = srcs_of[vid]
-        update[vid] = zbuffer_fusion(
-            views[vid]["depth"], views[vid]["k"], views[vid]["e"],
-            np.stack([views[s]["depth"] for s in srcs]),
-            np.stack([views[s]["k"] for s in srcs]),
-            np.stack([views[s]["e"] for s in srcs]))
+        rv, (sd, sk, se), valid = gather(vid)
+        fused = zbuffer_fusion(rv["depth"], rv["k"], rv["e"], sd, sk, se,
+                               src_valid=valid)
+        store.update(vid, vnew=fused)
         if log_fn:
-            log_fn(f"zbuffer {vid:>3}: {int((update[vid] > 0).sum())} px")
+            log_fn(f"zbuffer {vid:>3}: {int((fused > 0).sum())} px")
     for vid in view_ids:
-        views[vid]["depth"] = update[vid] * views[vid]["mask"]
+        v = store.get(vid)
+        store.update(vid, depth=v["vnew"] * v["mask"],
+                     vnew=np.zeros((), np.uint8))
 
     batch_vis_filter()
 
     # view-averaged depth
-    update = {}
     for vid in view_ids:
-        srcs = srcs_of[vid]
+        rv, (sd, sk, se), valid = gather(vid)
         xr, yr, dr, rng = reproject_all(
-            jnp.asarray(views[vid]["depth"]), jnp.asarray(views[vid]["k"]),
-            jnp.asarray(views[vid]["e"]),
-            jnp.asarray(np.stack([views[s]["depth"] for s in srcs])),
-            jnp.asarray(np.stack([views[s]["k"] for s in srcs])),
-            jnp.asarray(np.stack([views[s]["e"] for s in srcs])))
-        masks, _ = visibility_masks(jnp.asarray(views[vid]["depth"]),
+            jnp.asarray(rv["depth"]), jnp.asarray(rv["k"]),
+            jnp.asarray(rv["e"]), jnp.asarray(sd), jnp.asarray(sk),
+            jnp.asarray(se), jnp.asarray(valid))
+        masks, _ = visibility_masks(jnp.asarray(rv["depth"]),
                                     xr, yr, dr, rng, vthresh=vthresh)
-        update[vid] = np.asarray(averaged_depth(
-            jnp.asarray(views[vid]["depth"]), dr, masks))
+        store.update(vid, vnew=np.asarray(averaged_depth(
+            jnp.asarray(rv["depth"]), dr, masks)))
     for vid in view_ids:
-        views[vid]["depth"] = update[vid] * views[vid]["mask"]
+        v = store.get(vid)
+        store.update(vid, depth=v["vnew"] * v["mask"],
+                     vnew=np.zeros((), np.uint8))
 
     batch_vis_filter()
 
     # small segment removal
     for vid in view_ids:
-        seg_mask = segment_filter(views[vid]["depth"], seg_window, seg_diff,
-                                  seg_size)
-        views[vid]["mask"] &= seg_mask
-        views[vid]["depth"] *= views[vid]["mask"]
+        v = store.get(vid)
+        seg_mask = segment_filter(v["depth"], seg_window, seg_diff, seg_size)
+        mask = v["mask"] & seg_mask
+        store.update(vid, mask=mask, depth=v["depth"] * mask)
 
-    # back-project
+    # back-project (ref images loaded lazily, used once each)
     verts, colors, normals = [], [], []
     for vid in view_ids:
-        d = views[vid]["depth"]
-        m = views[vid]["mask"] & (d > 1e-9)
+        v = store.get(vid)
+        d = v["depth"]
+        m = v["mask"] & (d > 1e-9)
         if not m.any():
             continue
         h, w = d.shape
         pix = np.asarray(_centers(h, w))
         world = np.asarray(_img2world(jnp.asarray(pix),
                                       jnp.asarray(d.reshape(-1)),
-                                      jnp.asarray(views[vid]["k"]),
-                                      jnp.asarray(views[vid]["e"]))).T
+                                      jnp.asarray(v["k"]),
+                                      jnp.asarray(v["e"]))).T
         sel = m.reshape(-1)
+        img = read_image(os.path.join(scan_dir, img_folder,
+                                      f"{vid:08d}.jpg"))
         verts.append(world[sel].astype(np.float32))
-        colors.append((views[vid]["img"][:h, :w].reshape(-1, 3)[sel] * 255)
+        colors.append((img[:h, :w].reshape(-1, 3)[sel] * 255)
                       .astype(np.uint8))
         if with_normals:
-            normals.append(_normals_from_depth(d, views[vid]["k"],
-                                               views[vid]["e"])[sel])
+            normals.append(_normals_from_depth(d, v["k"], v["e"])[sel])
+    store.close()
 
     xyz = np.concatenate(verts, 0) if verts else np.zeros((0, 3), np.float32)
     rgb = np.concatenate(colors, 0) if colors else np.zeros((0, 3), np.uint8)

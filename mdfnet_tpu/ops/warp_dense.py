@@ -91,10 +91,13 @@ def dense_sample_2d(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x_start = jnp.clip(jnp.floor(x_min).astype(jnp.int32), 0, w - wx_win)
     y_start = jnp.clip(jnp.floor(y_min).astype(jnp.int32), 0, h - k_win)
 
-    cover_x = (jnp.floor(x_max) + 1 - jnp.maximum(jnp.floor(x_min), 0)) \
-        <= (wx_win - 1)
-    cover_y = (jnp.floor(y_max) + 1 - jnp.maximum(jnp.floor(y_min), 0)) \
-        <= (k_win - 1)
+    # only IN-IMAGE taps need covering: taps at w/h are grid_sample zeros,
+    # so the hi tap clips to the last image column/row (otherwise a window
+    # that spans the whole image reports a spurious violation)
+    hi_x = jnp.minimum(jnp.floor(x_max) + 1, w - 1)
+    hi_y = jnp.minimum(jnp.floor(y_max) + 1, h - 1)
+    cover_x = (hi_x - jnp.maximum(jnp.floor(x_min), 0)) <= (wx_win - 1)
+    cover_y = (hi_y - jnp.maximum(jnp.floor(y_min), 0)) <= (k_win - 1)
     coverage_ok = jnp.all(cover_x & cover_y)
 
     # (B, H, C, W): x-window lands on the 128-lane axis of the sliced window
