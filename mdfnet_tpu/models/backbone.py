@@ -53,6 +53,12 @@ class FPN4Scales(nn.Module):
     # (for the fused rowsweep consumer: zero features == grid_sample zeros,
     # so the aggregate kernel skips its host-side pad copies)
     keep_wpad: bool = False
+    # emit the G-channel PAIR-DIFFERENCE features (even minus odd output
+    # channels) instead of the C-channel features: the fused aggregation
+    # consumes only sigma(pair diffs), so differencing the 1x1 out-conv
+    # KERNELS emits exactly what is needed — half the output traffic and
+    # no strided channel slice downstream (exact: the conv is linear)
+    emit_diffs: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,14 +92,23 @@ class FPN4Scales(nn.Module):
         return y4, y3, y2
 
     def _conv1x1_hcw(self, v, features: int, name: str, use_bias: bool,
-                     valid_w: int | None = None, keep_wpad: bool = False):
-        """1x1 conv on (N, H, C, W) with ConvND-compatible param paths."""
+                     valid_w: int | None = None, keep_wpad: bool = False,
+                     diff: bool = False):
+        """1x1 conv on (N, H, C, W) with ConvND-compatible param paths.
+
+        ``diff``: convolve with kernel[..., 0::2] - kernel[..., 1::2] —
+        emits the features//2 channel-pair differences directly."""
         from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
         ci = v.shape[2]
         kernel, bias = _ConvKernelBiasParam((1, 1, ci, features), ci,
                                             use_bias, name=name)()
         offset = (bias.astype(jnp.float32) if use_bias
                   else jnp.zeros((features,), jnp.float32))
+        if diff:
+            assert not use_bias
+            kernel = kernel[..., 0::2] - kernel[..., 1::2]
+            offset = offset[:features // 2]
+            features = features // 2
         dtype = self.dtype or v.dtype
         return conv2d_fused(v, kernel.astype(dtype),
                             jnp.ones((features,), jnp.float32), offset,
@@ -184,16 +199,17 @@ class FPN4Scales(nn.Module):
             return _up2_axis(_up2_axis(v, 1), 3, vw)
 
         kw = self.keep_wpad
+        ed = self.emit_diffs
         y4 = self._conv1x1_hcw(x4, c3, "out4", use_bias=False, valid_w=w3,
-                               keep_wpad=kw)
+                               keep_wpad=kw, diff=ed)
         lat3 = self._conv1x1_hcw(x3, c3, "lat3", use_bias=True, valid_w=w2,
                                  keep_wpad=True)
         x3s = up2(x4, w3)[:, :, :, :wps[w2]] + lat3
         y3 = self._conv1x1_hcw(x3s, c2, "out3", use_bias=False, valid_w=w2,
-                               keep_wpad=kw)
+                               keep_wpad=kw, diff=ed)
         lat2 = self._conv1x1_hcw(x2, c3, "lat2", use_bias=True, valid_w=w1,
                                  keep_wpad=True)
         x2s = up2(x3s, w2)[:, :, :, :wps[w1]] + lat2
         y2 = self._conv1x1_hcw(x2s, c1, "out2", use_bias=False, valid_w=w1,
-                               keep_wpad=kw)
+                               keep_wpad=kw, diff=ed)
         return y4, y3, y2

@@ -81,9 +81,16 @@ class CoreNet(nn.Module):
         Reg4Cls = (nn.remat(RegularNet4Scales, static_argnums=(2, 3))
                    if use_remat else RegularNet4Scales)
         fused_pallas = self.pallas_conv and self.warp_impl == "fused"
+        # the fused path consumes ONLY sigma(channel-pair diffs); with the
+        # C/G == 2 configuration the backbone emits the differenced
+        # features directly (linear conv => exact)
+        emit_diffs = fused_pallas and all(
+            self.chs[len(self.chs) - 1 - s] == 2 * self.ngroups[s]
+            for s in range(nstages))
         backbone = BackboneCls(self.chs, dtype=self.dtype,
                                pallas_eval=self.pallas_conv,
-                               keep_wpad=fused_pallas, name="backbone")
+                               keep_wpad=fused_pallas,
+                               emit_diffs=emit_diffs, name="backbone")
         aggregates = [AggregateCls(self.ngroups[s], dtype=self.dtype,
                                    warp_impl=self.warp_impl,
                                    name=f"aggregate{s}") for s in range(nstages)]
@@ -123,11 +130,14 @@ class CoreNet(nn.Module):
             ]
             # channel-pair differences for the aggregation (one sliced
             # subtraction on the stacked tensor per stage, V-for-free);
-            # with the fused kernel these stay in (B, H, G, W) layout
+            # with the fused kernel these stay in (B, H, G, W) layout —
+            # and with emit_diffs the backbone already produced them
             ch_axis = 2 if (self.pallas_conv and fused) else 3
             stage_diffs = []
             for f in fs:
-                if ch_axis == 2:
+                if emit_diffs:
+                    dstack = f
+                elif ch_axis == 2:
                     dstack = f[:, :, 0::2, :] - f[:, :, 1::2, :]
                 else:
                     dstack = f[..., 0::2] - f[..., 1::2]
@@ -162,7 +172,8 @@ class CoreNet(nn.Module):
             diffs = None
             fused = (not train) and self.warp_impl == "fused"
             ch_ax = 2 if (fused and self.pallas_conv) else 3
-            if not train and self.ngroups[stage] * 2 == stage_feats[0].shape[ch_ax]:
+            if not train and (emit_diffs or self.ngroups[stage] * 2
+                              == stage_feats[0].shape[ch_ax]):
                 diffs = stage_diffs[stage]
                 if fused and not self.pallas_conv:
                     # fused kernel wants (B, H, G, W); XLA backbone gave NHWC

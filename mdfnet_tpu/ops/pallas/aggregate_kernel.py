@@ -166,23 +166,33 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
 
 def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
     """Effective sample coords per src in (S, H, D, Wp) layout (f32), with
-    out-of-range padding (-2: zero tent weight everywhere)."""
+    out-of-range fill (-2: zero tent weight everywhere).
+
+    Computed directly on a Wp-wide pixel grid with the pad columns MASKED
+    (a select that fuses into the coordinate math) — padding the (S, H, D,
+    Wp) f32 arrays afterwards cost a full extra copy per array (XLA
+    profile at bench size)."""
     n_src = src_projs.shape[0]
     d = depth_hypos.shape[0]
+    hyp = depth_hypos
+    if hyp.shape[-1] not in (1, wp):
+        # per-pixel hypotheses: edge-pad the lanes (small vs the coords)
+        hyp = jnp.pad(hyp, ((0, 0), (0, 0), (0, wp - hyp.shape[-1])),
+                      mode="edge")
     xs, ys = [], []
     for s in range(n_src):
         x_src, y_src = geometry.sweep_coordinates(
             src_projs[s:s + 1].astype(jnp.float32),
             ref_proj[None].astype(jnp.float32),
-            depth_hypos[None].astype(jnp.float32), h, w)
+            hyp[None].astype(jnp.float32), h, wp)
         x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
-        xs.append(x_eff.reshape(d, h, w))
-        ys.append(y_eff.reshape(d, h, w))
-    xs = jnp.stack(xs).transpose(0, 2, 1, 3)   # (S, H, D, W)
+        xs.append(x_eff.reshape(d, h, wp))
+        ys.append(y_eff.reshape(d, h, wp))
+    xs = jnp.stack(xs).transpose(0, 2, 1, 3)   # (S, H, D, Wp)
     ys = jnp.stack(ys).transpose(0, 2, 1, 3)
-    pad = ((0, 0), (0, 0), (0, 0), (0, wp - w))
-    xs = jnp.pad(xs, pad, constant_values=-2.0)
-    ys = jnp.pad(ys, pad, constant_values=-2.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 3)
+    xs = jnp.where(lane < w, xs, -2.0)
+    ys = jnp.where(lane < w, ys, -2.0)
     return jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys)
 
 

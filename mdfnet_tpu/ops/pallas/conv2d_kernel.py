@@ -257,12 +257,24 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         (N, H_out, Co, W_out), *_out = ceil(*/stride).
     """
     n, h, ci, w = x.shape
-    if valid_w is not None and valid_w != w:
-        x = x[..., :valid_w]
-        w = valid_w
     k = kernel.shape[0]
     co = kernel.shape[-1]
     assert k in (1, 3, 5) and stride in (1, 2)
+    if stride == 1:
+        # the chain kernel with one layer IS this conv, with in-kernel edge
+        # padding — no host-side pad copy of the activation (XLA profile:
+        # those pads were ~4 ms/forward at bench size)
+        align = 4 if x.dtype == jnp.bfloat16 else 8
+        if ci % align:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, align - ci % align), (0, 0)))
+            kernel = jnp.pad(kernel, ((0, 0), (0, 0),
+                                      (0, align - ci % align), (0, 0)))
+        return conv2d_chain_fused(x, [kernel], [scale], [offset], th=th,
+                                  relu_flags=(relu,), valid_w=valid_w,
+                                  keep_wpad=keep_wpad, interpret=interpret)
+    if valid_w is not None and valid_w != w:
+        x = x[..., :valid_w]
+        w = valid_w
     h_out = -(-h // stride)
     w_out = -(-w // stride)
     r_fold = th or max(1, min(128 // co, 16, h_out))

@@ -279,6 +279,12 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         # v2: in-kernel D/H zero padding (no host pad copy), Td planes per
         # step (the v1 per-plane grid re-read every plane 3x)
         wpi = -(-vw // 128) * 128
+        if w_in > wpi:
+            # producer kept a wider lane extent (the rowsweep kernel's
+            # 256-col x-window floor exceeds the natural alignment at small
+            # scenes); pad columns are zeros, so slicing is exact
+            x = x[..., :wpi]
+            w_in = wpi
         assert w_in in (vw, wpi), (w_in, vw)
         if w_in != wpi:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wpi - w_in)))
@@ -452,4 +458,6 @@ def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     y = y.reshape(d, h, 2, 2, 2, co, wy)
     y = y.transpose(0, 2, 1, 3, 5, 6, 4)             # (D,2,H,2,Co,Wy,2)
     # junk cols (zeroed by the conv's wvalid mask) interleave to the tail
+    # (NOTE: interior-padded dilated adds looked cheaper but XLA
+    # materialises every padded 2x volume — measured 4x worse)
     return y.reshape(2 * d, 2 * h, co, 2 * wy)
