@@ -198,18 +198,78 @@ class FPN4Scales(nn.Module):
         def up2(v, vw):  # (N, H, C, W): upsample axes 1 and 3
             return _up2_axis(_up2_axis(v, 1), 3, vw)
 
+        # --- linearised top-down path ---
+        # The reference composition materialises three c3-channel tensors at
+        # 1/2 res (up2(x3s), lat2(x2), their sum ~340 MB each at DTU eval
+        # size) before out2 reduces to c1 — ~1.3 GB of HBM traffic for the
+        # one output that survives. Both up2 (spatial, per-channel) and the
+        # 1x1 convs (per-pixel, linear) commute, so the whole path
+        # re-associates EXACTLY so that the out-convs apply FIRST, at the
+        # coarsest resolution, and only c1/c2-channel (or G-channel under
+        # emit_diffs) tensors are ever upsampled:
+        #   y3 = out3(up2(x4) + lat3(x3)) = up2(out3 x4) + (out3.lat3) x3
+        #   y2 = up2(up2(out2 x4) + (out2.lat3) x3) + (out2.lat2) x2
+        # with the lat biases folded into the composed convs' offsets.
+        # Reference: net/unit/backbone.py:40-66 (the unfused composition).
         kw = self.keep_wpad
         ed = self.emit_diffs
-        y4 = self._conv1x1_hcw(x4, c3, "out4", use_bias=False, valid_w=w3,
-                               keep_wpad=kw, diff=ed)
-        lat3 = self._conv1x1_hcw(x3, c3, "lat3", use_bias=True, valid_w=w2,
-                                 keep_wpad=True)
-        x3s = up2(x4, w3)[:, :, :, :wps[w2]] + lat3
-        y3 = self._conv1x1_hcw(x3s, c2, "out3", use_bias=False, valid_w=w2,
-                               keep_wpad=kw, diff=ed)
-        lat2 = self._conv1x1_hcw(x2, c3, "lat2", use_bias=True, valid_w=w1,
-                                 keep_wpad=True)
-        x2s = up2(x3s, w2)[:, :, :, :wps[w1]] + lat2
-        y2 = self._conv1x1_hcw(x2s, c1, "out2", use_bias=False, valid_w=w1,
-                               keep_wpad=kw, diff=ed)
+        dtype = self.dtype or x.dtype
+        K4, _ = _ConvKernelBiasParam((1, 1, c3, c3), c3, False, name="out4")()
+        K3, _ = _ConvKernelBiasParam((1, 1, c3, c2), c3, False, name="out3")()
+        K2, _ = _ConvKernelBiasParam((1, 1, c3, c1), c3, False, name="out2")()
+        L3, b3 = _ConvKernelBiasParam((1, 1, c2, c3), c2, True, name="lat3")()
+        L2, b2 = _ConvKernelBiasParam((1, 1, c1, c3), c1, True, name="lat2")()
+
+        def diffk(k):
+            return k[..., 0::2] - k[..., 1::2] if ed else k
+
+        K4d, K3d, K2d = diffk(K4), diffk(K3), diffk(K2)
+        L3f = L3[0, 0].astype(jnp.float32)
+        L2f = L2[0, 0].astype(jnp.float32)
+
+        def compose(lat, bias, out_k):
+            ko = out_k[0, 0].astype(jnp.float32)
+            m = (lat @ ko)[None, None]                # (1, 1, ci, co')
+            off = bias.astype(jnp.float32) @ ko       # (co',)
+            return m, off
+
+        M3, off3 = compose(L3f, b3, K3d)
+        N3, offn3 = compose(L3f, b3, K2d)
+        M2, off2 = compose(L2f, b2, K2d)
+
+        from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+
+        def run1x1(v, kernel, offset, vw, kwl):
+            co = kernel.shape[-1]
+            return conv2d_fused(v, kernel.astype(dtype),
+                                jnp.ones((co,), jnp.float32), offset,
+                                relu=False, valid_w=vw, keep_wpad=kwl)
+
+        def mask_junk(y, vw_true):
+            # the up2 stencil leaks 0.25*edge into the first junk column;
+            # fused consumers need zeroed junk (zero features = grid_sample
+            # zeros), so re-mask after the add
+            if y.shape[-1] > vw_true:
+                lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 3)
+                y = jnp.where(lane < vw_true, y, jnp.zeros((), y.dtype))
+            return y
+
+        # same-input convs ride ONE kernel with concatenated out channels
+        n4, n3 = K4d.shape[-1], K3d.shape[-1]
+        kcat = jnp.concatenate([K4d, K3d, K2d], axis=-1)
+        v4 = run1x1(x4, kcat, jnp.zeros((kcat.shape[-1],), jnp.float32),
+                    w3, True)
+        y4, t3, u2 = v4[:, :, :n4], v4[:, :, n4:n4 + n3], v4[:, :, n4 + n3:]
+        m3 = M3.shape[-1]
+        acat = jnp.concatenate([M3, N3], axis=-1)
+        a = run1x1(x3, acat, jnp.concatenate([off3, offn3]), w2, True)
+        a3, an3 = a[:, :, :m3], a[:, :, m3:]
+        y3 = mask_junk(up2(t3, w3)[:, :, :, :wps[w2]] + a3, w2)
+        s2 = mask_junk(up2(u2, w3)[:, :, :, :wps[w2]] + an3, w2)
+        a2 = run1x1(x2, M2, off2, w1, True)
+        y2 = mask_junk(up2(s2, w2)[:, :, :, :wps[w1]] + a2, w1)
+        if not kw:
+            y4 = y4[..., :w3]
+            y3 = y3[..., :w2]
+            y2 = y2[..., :w1]
         return y4, y3, y2
