@@ -386,6 +386,24 @@ class _ConvKernelBiasParam(nn.Module):
         return kernel, bias
 
 
+class _ConvBNParams(nn.Module):
+    """Conv kernel + eval-folded BN scalars at the exact param/stat paths of
+    ConvBNReLU3D / TrConvBNReLU3D (<name>/conv/kernel, <name>/bn/*), for
+    fused paths that consume raw weights (e.g. the depth-folded 2D U-Net)."""
+    shape: tuple     # conv kernel shape
+    fan_in: int
+    features: int    # BN features (true out channels)
+
+    @nn.compact
+    def __call__(self):
+        kernel = _ConvKernelParam(self.shape, self.fan_in, name="conv")()
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        fscale = scale.astype(jnp.float32) * jax.lax.rsqrt(
+            var.astype(jnp.float32) + 1e-5)
+        foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
+        return kernel, fscale, foffset
+
+
 class _BNParams(nn.Module):
     """BatchNorm parameter/stat holder matching layers.BatchNorm's structure,
     for paths that fold BN into a fused kernel (eval only)."""

@@ -316,6 +316,11 @@ class RegularNet4Scales(nn.Module):
         assert h % 8 == 0 and vw % 8 == 0, \
             f"volume H,W must divide 8, got {(h, vw)}"
         assert tuple(self.sample_stride) == (2, 2, 2)
+        if d % 8 == 0 and d * c0 in (64, 192):
+            # small-D net: every level folds to the same channel count
+            # (64 for stage 2, 192 for stage 1) — run the whole U-Net as
+            # 11 conv2d launches (ops/fold2d.py)
+            return self._fold2d_path(x, c0, c1, c2, c3, vw)
         w1, w2, w3 = vw // 2, vw // 4, vw // 8
         wp = lambda ww: -(-ww // 128) * 128
         dt = self.dtype
@@ -341,4 +346,59 @@ class RegularNet4Scales(nn.Module):
         v = trconv("trconv32", c1, v, w2)[..., :wp(w1)] + x2
         v = trconv("trconv21", c0, v, w1)[..., :wp(vw)] + x1
         out = ProbConv(dtype=dt, name="prob")(v, dhcw=True, valid_w=vw)
+        return nn.softmax(out, axis=1)
+
+    def _fold2d_path(self, x, c0, c1, c2, c3, vw):
+        """Eval, D*c0 == 64: the depth axis folded into channels — the whole
+        net runs as stride-1/2 conv2d_fused launches on (B, H, D*C, W) with
+        the exactly-equivalent block-banded weights (ops/fold2d.py). The
+        transposed convs emit 2x2 spatial phase groups interleaved back on
+        the fine grid; parameters keep their conv3d shapes/paths."""
+        from mdfnet_tpu.models.layers import (_ConvBNParams, _ConvKernelParam)
+        from mdfnet_tpu.ops import fold2d
+        from mdfnet_tpu.ops.pallas import conv2d_kernel
+
+        b, d, h, cin, w_in = x.shape
+        d1, d2, d3 = d // 2, d // 4, d // 8
+        w1, w2, w3 = vw // 2, vw // 4, vw // 8
+        dt = self.dtype or x.dtype
+
+        xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(b, h, d * cin, w_in)
+        xf = xf.astype(dt)
+
+        def conv(name, ci, co, din, sd, inp, vwl):
+            k, s, o = _ConvBNParams((3, 3, 3, ci, co), ci * 27, co,
+                                    name=name)()
+            kf = fold2d.fold_conv3d(k.astype(dt), din, sd)
+            dout = din // sd
+            return conv2d_kernel.conv2d_fused(
+                inp, kf, jnp.tile(s, dout), jnp.tile(o, dout), stride=sd,
+                valid_w=vwl, keep_wpad=True)
+
+        def trconv(name, ci, co, din, inp, vwl):
+            k, s, o = _ConvBNParams((3, 3, 3, co, ci), co * 27, co,
+                                    name=name)()
+            kf = fold2d.fold_trconv3d(k.astype(dt), din)
+            dout = 2 * din
+            y = conv2d_kernel.conv2d_fused(
+                inp, kf, jnp.tile(s, 4 * dout), jnp.tile(o, 4 * dout),
+                valid_w=vwl, keep_wpad=True)
+            return fold2d.interleave_2x2(y, dout * co, vwl)
+
+        v1 = conv("conv01", cin, c0, d, 1, xf, vw)
+        v = conv("conv12_0", c0, c1, d, 2, v1, vw)
+        v2 = conv("conv12_1", c1, c1, d1, 1, v, w1)
+        v = conv("conv23_0", c1, c2, d1, 2, v2, w1)
+        v3 = conv("conv23_1", c2, c2, d2, 1, v, w2)
+        v = conv("conv343_0", c2, c3, d2, 2, v3, w2)
+        v = conv("conv343_1", c3, c3, d3, 1, v, w3)
+        v = trconv("conv343_2", c3, c2, d3, v, w3) + v3[..., :w2]
+        v = trconv("trconv32", c2, c1, d2, v, w2) + v2[..., :w1]
+        v = trconv("trconv21", c1, c0, d1, v, w1) + v1[..., :vw]
+        pk = _ConvKernelParam((3, 3, 3, c0, 1), c0 * 27, name="prob")()
+        kp = fold2d.fold_conv3d(pk.astype(dt), d, 1)
+        y = conv2d_kernel.conv2d_fused(
+            v, kp, jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32),
+            relu=False, valid_w=vw)
+        out = jnp.transpose(y, (0, 2, 1, 3)).astype(jnp.float32)
         return nn.softmax(out, axis=1)

@@ -46,6 +46,17 @@ def main():
         # folded prob conv
         ("folded prob    (1,592,64,896) 64->8 s1", (1, 592, 64, 896),
          64, 8, 1, 800),
+        # ---- stage-1 candidates (D=24 x c0=8 = 192 folded channels) ----
+        ("s1 folded conv01  (1,296,384,512) 384->192 s1", (1, 296, 384, 512),
+         384, 192, 1, 400),
+        ("s1 folded conv12_0 (1,296,192,512) s2", (1, 296, 192, 512),
+         192, 192, 2, 400),
+        ("s1 folded conv12_1 (1,148,192,256) s1", (1, 148, 192, 256),
+         192, 192, 1, 200),
+        ("s1 folded trconv21 (1,148,192,256) ->768 s1", (1, 148, 192, 256),
+         192, 768, 1, 200),
+        ("s1 folded prob    (1,296,192,512) ->24 s1", (1, 296, 192, 512),
+         192, 24, 1, 400),
     ]
     for name, xs, ci, co, stride, vw in cases:
         x = jax.random.uniform(rng, xs, dt)
