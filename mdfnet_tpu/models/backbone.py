@@ -115,11 +115,13 @@ class FPN4Scales(nn.Module):
                             relu=False, valid_w=valid_w, keep_wpad=keep_wpad)
 
     def _chain(self, names_feats_ks, inp, logical_ci: int | None = None,
-               valid_w: int | None = None, keep_wpad: bool = False):
-        """Consecutive same-resolution stride-1 ConvBNReLUs as ONE fused
-        Pallas pass (ops/pallas/conv2d_kernel.py conv2d_chain_fused):
-        intermediates never touch HBM. Parameter paths stay identical to
-        the per-layer modules, so checkpoints/.pth import are unaffected."""
+               valid_w: int | None = None, keep_wpad: bool = False,
+               final_stride: int = 1):
+        """Consecutive stride-1 ConvBNReLUs (optionally ending in a stride-2
+        downsampling conv) as ONE fused Pallas pass (ops/pallas/
+        conv2d_kernel.py conv2d_chain_fused): intermediates never touch
+        HBM. Parameter paths stay identical to the per-layer modules, so
+        checkpoints/.pth import are unaffected."""
         from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_chain_fused
         dtype = self.dtype or inp.dtype
         kernels, scales, offsets = [], [], []
@@ -141,7 +143,8 @@ class FPN4Scales(nn.Module):
             cis = feats
         return conv2d_chain_fused(inp.astype(dtype), kernels, scales,
                                   offsets, valid_w=valid_w,
-                                  keep_wpad=keep_wpad)
+                                  keep_wpad=keep_wpad,
+                                  final_stride=final_stride)
 
     def _hcw_path(self, x):
         c0, c1, c2, c3 = self.out_chs
@@ -165,9 +168,13 @@ class FPN4Scales(nn.Module):
                               name=name)(inp, False, hcw=True, valid_w=vw,
                                          keep_wpad=True)
 
-        v = self._chain([("conv01_0", c0, 3), ("conv01_1", c0, 3)], v,
-                        logical_ci=x.shape[3], valid_w=w0, keep_wpad=True)
-        v = cbr("conv12_0", c1, 5, 2, v, w0)
+        # the full-res trunk + the 1/2 downsampling conv fuse into ONE
+        # launch: the c0-channel FULL-RES feature map (the largest tensor
+        # in the whole forward) never reaches HBM
+        v = self._chain([("conv01_0", c0, 3), ("conv01_1", c0, 3),
+                         ("conv12_0", c1, 5)], v,
+                        logical_ci=x.shape[3], valid_w=w0, keep_wpad=True,
+                        final_stride=2)
         x2 = self._chain([("conv12_1", c1, 3), ("conv12_2", c1, 3)], v,
                          valid_w=w1, keep_wpad=True)
         v = cbr("conv23_0", c2, 5, 2, x2, w1)

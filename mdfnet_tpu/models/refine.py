@@ -74,7 +74,8 @@ class RefineNet2(nn.Module):
         return x[..., 0]
 
     def _hcw_path(self, depth, depth_range):
-        from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+        from mdfnet_tpu.ops.pallas.conv2d_kernel import (
+            conv2d_chain_fused, conv2d_fused)
         c = self.base_chs
         dtype = self.dtype or depth.dtype
         depth = jax.lax.stop_gradient(depth)
@@ -87,28 +88,55 @@ class RefineNet2(nn.Module):
         ones = jnp.ones((c,), jnp.float32)
         zeros = jnp.zeros((c,), jnp.float32)
 
-        k = _ConvKernelParam((3, 3, 1, c), 9, name="conv0")()
-        x = conv2d_fused(x, k.astype(dtype), ones, zeros, relu=False)
-        skip = x
+        # the whole half-res stack (conv0, 3 Res blocks, conv1 + skip,
+        # conv2_0) rides ONE chain launch: 10 kernel dispatches -> 2, the
+        # 8 intermediate feature maps never touch HBM, and the Res/skip
+        # adds run in-kernel via `residuals`
+        align = 4 if dtype == jnp.bfloat16 else 8
+        xin = jnp.pad(x, ((0, 0), (0, 0), (0, align - 1), (0, 0)))
+        k0 = _ConvKernelParam((3, 3, 1, c), 9, name="conv0")()
+        # zero kernel rows match the zero-padded input channels exactly
+        k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, align - 1), (0, 0)))
+        kernels, scales, offsets = [k0], [ones], [zeros]
+        relus, resid = [False], [None]
         for i in range(self.nres):
-            k0, k1 = _ResParams(c, name=f"res{i}")()
-            y = conv2d_fused(x, k0.astype(dtype), ones, zeros, relu=True)
+            ka, kb = _ResParams(c, name=f"res{i}")()
+            kernels += [ka, kb]
             # fold the 0.1 residual scale into the second conv's epilogue
-            y = conv2d_fused(y, k1.astype(dtype), ones * 0.1, zeros,
-                             relu=False)
-            x = x + y
+            scales += [ones, ones * 0.1]
+            offsets += [zeros, zeros]
+            relus += [True, False]
+            resid += [None, 2 * i]     # Res adds its input (layer 0/2/4)
         k = _ConvKernelParam((3, 3, c, c), c * 9, name="conv1")()
-        x = skip + conv2d_fused(x, k.astype(dtype), ones, zeros, relu=False)
+        kernels.append(k)
+        scales.append(ones)
+        offsets.append(zeros)
+        relus.append(False)
+        resid.append(0)                # + skip (conv0's output)
         k = _ConvKernelParam((3, 3, c, 4 * c), c * 9, name="conv2_0")()
-        x = conv2d_fused(x, k.astype(dtype),
-                         jnp.ones((4 * c,), jnp.float32),
-                         jnp.zeros((4 * c,), jnp.float32), relu=False)
+        kernels.append(k)
+        scales.append(jnp.ones((4 * c,), jnp.float32))
+        offsets.append(jnp.zeros((4 * c,), jnp.float32))
+        relus.append(False)
+        resid.append(None)
+        w2v = x.shape[-1]
+        x = conv2d_chain_fused(xin, [kk.astype(dtype) for kk in kernels],
+                               scales, offsets, th=16,
+                               relu_flags=tuple(relus), valid_w=w2v,
+                               keep_wpad=True, residuals=tuple(resid))
 
-        # PixelShuffle(2) on (B, H/2, 4C, W/2): channel index = c*4+dy*2+dx
-        b_, h2, _, w2 = x.shape
-        x = x.reshape(b_, h2, c, 2, 2, w2)
+        # PixelShuffle(2) on (B, H/2, 4C, Wp/2): channel index = c*4+dy*2+dx
+        # (junk lanes are zeroed in-kernel, so the interleave stays clean)
+        b_, h2, _, wp2 = x.shape
+        x = x.reshape(b_, h2, c, 2, 2, wp2)
         x = x.transpose(0, 1, 3, 2, 5, 4)            # (B, H/2, dy, C, W/2, dx)
-        x = x.reshape(b_, 2 * h2, c, 2 * w2)         # (B, H, C, W)
+        x = x.reshape(b_, 2 * h2, c, 2 * wp2)        # (B, H, C, 2*Wp/2)
+        # 2*wp2 >= the 128-aligned extent of the true full-res width and the
+        # extra columns are zero (the chain masks junk lanes); slice so the
+        # final conv sees its expected padded width
+        wp_full = -(-2 * w2v // 128) * 128
+        if 2 * wp2 != wp_full:
+            x = x[..., :wp_full]
 
         # final 3x3 conv C->1 as 9 shifted channel contractions (no C=1
         # tensor; same trick as regularize.ProbConv)
@@ -118,7 +146,8 @@ class RefineNet2(nn.Module):
         # Co=1 folds ~128 output rows into one matmul and emits (H, 1, W)
         out = conv2d_fused(x, k.astype(dtype),
                            jnp.ones((1,), jnp.float32),
-                           jnp.zeros((1,), jnp.float32), relu=False)
+                           jnp.zeros((1,), jnp.float32), relu=False,
+                           valid_w=2 * w2v)
         out = out[:, :, 0, :].astype(jnp.float32)    # (B, H, W)
         out = dmin[..., 0] + out * (dmax - dmin)[..., 0]
         return out.astype(depth.dtype)

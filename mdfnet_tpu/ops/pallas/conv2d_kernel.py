@@ -132,62 +132,62 @@ def _conv2d_kernel_unstacked(
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _conv2d_kernel_s2(
-        x_ref,        # (2, N, Hp, ci_pad, Wq) ANY/HBM even/odd W streams
-        w_ref,        # (R*Co, rows*k*ci_pad) VMEM folded weights
+def _conv2d_kernel_s2i(
+        x_ref,        # (N, Hp, ci_pad, Wq) ANY/HBM — interleaved input
+        w_ref,        # (R*Co, rows*k*ci_pad) VMEM folded weights (stride 2)
         scale_ref,    # (1, R*Co) VMEM f32
         offset_ref,   # (1, R*Co) VMEM f32
-        out_ref,      # (1, R*Co, Wp) VMEM block
-        slab, taps, sems,  # (2, 2, rows, ci, Wq), (rows, nblk*sub, Wp)
+        sel_ref,      # (Wpi, Wpo) VMEM 0/1 even-column selection matrix
+        out_ref,      # (1, R*Co, Wpo) VMEM block
+        slab, taps, sems,  # (2, rows, ci, Wq), (rows, nblk*sub, Wpi)
         *, r_fold: int, k: int, relu: bool, gg: int, sub: int,
         wvalid: int = 0):
-    """Stride-2 path on W-parity streams: tap j reads stream (j-p) mod 2 at
-    lane shift floor((j-p)/2) — two 1x streams replace the k-fold stacked
-    tensor (its HBM write+read dominated the downsampling convs). ``gg``
-    taps share a sublane block like the stride-1 kernel."""
+    """Stride-2 path on the INTERLEAVED input: the conv is evaluated at all
+    stride-1 x positions (taps = lane rolls, rows at stride 2 via the folded
+    weight) and the even columns are selected by a constant 0/1 matmul on
+    the MXU. The previous design pre-split the input into W-parity streams
+    host-side — a full read+write of the layer input (~300 MB/forward at
+    DTU eval size across the three downsampling convs); the extra MXU
+    columns are far cheaper than that HBM round trip."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     n_hb = pl.num_programs(1)
     total = pl.num_programs(0) * n_hb
     rows = 2 * r_fold + (k - 2)
-    wp = taps.shape[-1]
-    ci = slab.shape[3]
+    wpi = taps.shape[-1]
+    ci = slab.shape[2]
     p = (k - 1) // 2
 
-    def dma(slot, par, nn, hh):
+    def dma(slot, nn, hh):
         return pltpu.make_async_copy(
-            x_ref.at[par, nn, pl.ds(hh * r_fold * 2, rows)],
-            slab.at[slot, par],
-            sems.at[slot, par],
+            x_ref.at[nn, pl.ds(hh * r_fold * 2, rows)],
+            slab.at[slot],
+            sems.at[slot],
         )
 
     i = n * n_hb + hb
 
     @pl.when(i == 0)
     def _():
-        for par in range(2):
-            dma(0, par, n, hb).start()
+        dma(0, n, hb).start()
 
     @pl.when(i + 1 < total)
     def _():
-        for par in range(2):
-            dma((i + 1) % 2, par, (i + 1) // n_hb, (i + 1) % n_hb).start()
+        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
 
-    for par in range(2):
-        dma(i % 2, par, n, hb).wait()
+    dma(i % 2, n, hb).wait()
+    blk = slab[i % 2]  # (rows, ci, Wq); col j holds src col j - 128
 
     nblk = taps.shape[1] // sub
     for b in range(nblk):
         parts = []
         for t in range(gg):
-            j = b * gg + t
-            if j < k:
-                par = (j - p) % 2
-                sh = 128 + (j - p - par) // 2
-                parts.append(_shift_lanes_left(slab[i % 2, par], sh)
-                             [..., :wp])
+            dx = b * gg + t
+            if dx < k:
+                parts.append(_shift_lanes_left(blk, 128 + dx - p)
+                             [..., :wpi])
             else:
-                parts.append(jnp.zeros((rows, ci, wp), slab.dtype))
+                parts.append(jnp.zeros((rows, ci, wpi), blk.dtype))
         block = (parts[0] if len(parts) == 1
                  else jnp.concatenate(parts, axis=1))
         if block.shape[1] < sub:
@@ -195,18 +195,23 @@ def _conv2d_kernel_s2(
                             ((0, 0), (0, sub - block.shape[1]), (0, 0)))
         taps[:, b * sub:(b + 1) * sub, :] = block
 
-    cur = taps[...].reshape(rows * nblk * sub, wp)
+    cur = taps[...].reshape(rows * nblk * sub, wpi)
     acc = jax.lax.dot_general(
         w_ref[...], cur,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)          # (R*Co, Wpi)
     y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
     if relu:
         y = jnp.maximum(y, 0.0)
-    if 0 < wvalid < wp:
-        yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        y = y * (yi < wvalid).astype(y.dtype)
-    out_ref[0] = y.astype(out_ref.dtype)
+    # select even columns: exact (0/1 weights on already-rounded values)
+    y2 = jax.lax.dot_general(
+        y.astype(out_ref.dtype), sel_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R*Co, Wpo)
+    if 0 < wvalid < y2.shape[-1]:
+        yi = jax.lax.broadcasted_iota(jnp.int32, y2.shape, 1)
+        y2 = y2 * (yi < wvalid).astype(y2.dtype)
+    out_ref[0] = y2.astype(out_ref.dtype)
 
 
 def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
@@ -272,8 +277,10 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         return conv2d_chain_fused(x, [kernel], [scale], [offset], th=th,
                                   relu_flags=(relu,), valid_w=valid_w,
                                   keep_wpad=keep_wpad, interpret=interpret)
+    # junk lane-pad columns from keep_wpad producers are zero, which is
+    # exactly grid-conv zero padding — compute on the padded width and let
+    # the 0/1 selection matrix pick the true even columns (no slice copy)
     if valid_w is not None and valid_w != w:
-        x = x[..., :valid_w]
         w = valid_w
     h_out = -(-h // stride)
     w_out = -(-w // stride)
@@ -341,23 +348,31 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         out = out.reshape(n, h_out_pad, co, wp)
         return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
 
-    # stride 2: W-parity streams + in-kernel rolls (no k-fold stacked tensor)
+    # stride 2 on the interleaved input: taps are lane rolls (like stride 1),
+    # rows ride the stride-2 folded weight, even columns are selected by a
+    # constant 0/1 matmul — no host-side parity-split round trip
+    import numpy as np
     p = (k - 1) // 2
     rows = 2 * r_fold + (k - 2)
-    wq = wp + 256
+    w_arr = x.shape[-1]
+    wpi = -(-max(w_arr, w) // 128) * 128
+    wq = wpi + 256
     hp = 2 * h_out_pad + (k - 2)
     xw = jnp.pad(x, ((0, 0), (p, hp - h - p), (0, 0),
-                     (256, 2 * wq - 256 - w)))
-    # stream position q <-> input col 2q - 256 (+par); q=128 <-> col 0(+par)
-    xs2 = jnp.stack([xw[..., 0::2], xw[..., 1::2]])  # (2, N, Hp, Ci, Wq)
+                     (128, wq - 128 - w_arr)))
     wfold = _fold_rows_grouped(kernel.astype(x.dtype), r_fold, k, 2, gg, slot,
                                ci_e)
+    # numpy constant: baked into the executable, not rebuilt per call
+    sel_np = np.zeros((wpi, wp), np.float32)
+    cols = np.arange(w_out)
+    sel_np[2 * cols, cols] = 1.0
+    sel = jnp.asarray(sel_np, x.dtype)
 
     scale2 = jnp.tile(scale.reshape(1, co).astype(jnp.float32), (1, r_fold))
     offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32), (1, r_fold))
 
-    kern = functools.partial(_conv2d_kernel_s2, r_fold=r_fold, k=k, relu=relu,
-                             gg=gg, sub=slot,
+    kern = functools.partial(_conv2d_kernel_s2i, r_fold=r_fold, k=k,
+                             relu=relu, gg=gg, sub=slot,
                              wvalid=w_out if keep_wpad else 0)
     out = pl.pallas_call(
         kern,
@@ -370,18 +385,20 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpi, wp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r_fold * co, wp),
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h_out_pad * co, wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, rows, ci_e, wq), x.dtype),
-            pltpu.VMEM((rows, nblk * slot, wp), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, rows, ci_e, wq), x.dtype),
+            pltpu.VMEM((rows, nblk * slot, wpi), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xs2, wfold, scale2, offset2)
+    )(xw, wfold, scale2, offset2, sel)
     out = out.reshape(n, h_out_pad, co, wp)
     return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
 
@@ -394,23 +411,62 @@ def _layer_geometry(ci_e: int, dtype) -> tuple[int, int]:
     return 1, -(-ci_e // sub) * sub
 
 
-def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
-                         relu_flags, valid_w: int):
-    """L stride-1 convs on one row strip, intermediates held in VMEM.
+def _chain_rows(layers, r_fold: int, final_stride: int):
+    """Per-layer output rows per strip + input rows + input-row advance."""
+    nlayers = len(layers)
+    pads = [(k - 1) // 2 for k, *_ in layers]
+    k_last = layers[-1][0]
+    if final_stride == 2:
+        base = 2 * r_fold + (k_last - 2)
+        rows_out = [base + 2 * sum(pads[j + 1:-1]) for j in range(nlayers)]
+        rows_out[-1] = r_fold
+        adv = 2 * r_fold
+    else:
+        rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
+        adv = r_fold
+    rows_in = rows_out[0] + 2 * pads[0]
+    # left context: input rows above the strip's first advanced row
+    # (stride-2 tail: out row r reads input rows 2r+dy-p_last, so the same
+    # sum-of-pads applies with the doubled advance)
+    ptot = sum(pads)
+    return rows_out, rows_in, adv, ptot
 
-    refs: per-layer (w, scale, offset) VMEM refs, then out_ref, then
-    scratch: slab, taps_0..taps_{L-1}, buf_0..buf_{L-2}, sems.
+
+def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
+                         relu_flags, valid_w: int, residuals=None,
+                         final_stride: int = 1, w_out: int = 0):
+    """L stride-1 convs (optionally a final stride-2 conv) on one row strip,
+    intermediates held in VMEM.
+
+    refs: per-layer (w, scale, offset) VMEM refs, [sel matrix], then
+    out_ref, then scratch: slab, taps (shared), buf_0..buf_{L-2}, sems.
     layers: list of (k, ci_e, co, gg, slot, nblk) static descriptors.
+    residuals: per-layer ``None`` or an earlier layer index j — adds layer
+    j's (post-epilogue, post-residual) VMEM buffer to this layer's output
+    after its ReLU, realising Res-block skips without leaving the kernel.
+    final_stride == 2: the LAST layer is a stride-2 conv — rows ride its
+    stride-2 folded weight and the even output columns are selected by the
+    constant 0/1 ``sel`` matmul (same scheme as _conv2d_kernel_s2i), so a
+    backbone scale transition fuses into the trunk chain and its stride-1
+    input never reaches HBM.
     """
     nlayers = len(layers)
     w_refs = [refs[3 * l] for l in range(nlayers)]
     s_refs = [refs[3 * l + 1] for l in range(nlayers)]
     o_refs = [refs[3 * l + 2] for l in range(nlayers)]
-    out_ref = refs[3 * nlayers]
-    scratch = refs[3 * nlayers + 1:]
+    nin = 3 * nlayers
+    sel_ref = None
+    if final_stride == 2:
+        sel_ref = refs[nin]
+        nin += 1
+    out_ref = refs[nin]
+    scratch = refs[nin + 1:]
     slab = scratch[0]
-    taps = scratch[1:1 + nlayers]
-    bufs = scratch[1 + nlayers:1 + 2 * nlayers - 1]
+    # ONE shared tap buffer: layers run sequentially, so the per-layer tap
+    # planes can time-share the max-size allocation (9-layer chains OOMed
+    # the 16 MB scoped-VMEM limit with per-layer buffers)
+    taps_s = scratch[1]
+    bufs = scratch[2:2 + nlayers - 1]
     sems = scratch[-1]
 
     n = pl.program_id(0)
@@ -420,19 +476,17 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
     i = n * n_hb + hb
 
     pads = [(k - 1) // 2 for k, *_ in layers]
-    ptot = sum(pads)
-    # rows of layer l's OUTPUT needed per strip
-    rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
-    rows_in = rows_out[0] + 2 * pads[0]
+    rows_out, rows_in, adv, ptot = _chain_rows(layers, r_fold, final_stride)
     wimg = x_ref.shape[-1]
-    wp = out_ref.shape[-1]
+    wp = taps_s.shape[-1]   # working width of the stride-1 body (== out
+    # width when final_stride == 1; the sel matmul narrows it otherwise)
 
     # per-block copy geometry: (dst0, row0, length) for blocks whose strip
-    # [hb*R - P, hb*R - P + rows_in) leaves the image — with h % R != 0 the
-    # tail can cover SEVERAL blocks, not just the last one
+    # [hb*adv - P, hb*adv - P + rows_in) leaves the image — with h % adv
+    # != 0 the tail can cover SEVERAL blocks, not just the last one
     specials = {}
     for v in range(n_hb):
-        row0 = v * r_fold - ptot
+        row0 = v * adv - ptot
         dst0 = max(0, -row0)
         row0 = max(0, row0)
         length = min(rows_in - dst0, h - row0)
@@ -477,7 +531,7 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
 
             @pl.when(gen)
             def _():
-                go(hh * r_fold - ptot, 0, rows_in)
+                go(hh * adv - ptot, 0, rows_in)
 
     @pl.when(i == 0)
     def _():
@@ -503,12 +557,15 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
         # layer-0 input needs no mask: every producer (the image pad, this
         # kernel, conv2d_fused) zeroes its own junk lane-pad columns
         src = cur[i % 2] if l == 0 else cur[...]
-        in_rows = rows_out[l] + k - 1
-        tp = taps[l]
+        s2_tail = final_stride == 2 and l == nlayers - 1
+        in_rows = (2 * rows_out[l] + k - 2) if s2_tail \
+            else rows_out[l] + k - 1
+        tw = nblk * slot_sz
         if k == 1:
-            tp[...] = src[:, :tp.shape[1], :wp] if src.shape[1] >= tp.shape[1] \
+            taps_s[:in_rows, :tw] = (
+                src[:, :tw, :wp] if src.shape[1] >= tw
                 else jnp.pad(src[..., :wp],
-                             ((0, 0), (0, tp.shape[1] - src.shape[1]), (0, 0)))
+                             ((0, 0), (0, tw - src.shape[1]), (0, 0))))
         else:
             for b in range(nblk):
                 parts = []
@@ -527,10 +584,11 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
                     block = jnp.pad(
                         block, ((0, 0), (0, slot_sz - block.shape[1]),
                                 (0, 0)))
-                tp[:, b * slot_sz:(b + 1) * slot_sz, :] = block
+                taps_s[:in_rows, b * slot_sz:(b + 1) * slot_sz, :] = block
 
         acc = jax.lax.dot_general(
-            w_refs[l][...], tp[...].reshape(in_rows * nblk * slot_sz, wp),
+            w_refs[l][...],
+            taps_s[:in_rows, :tw, :].reshape(in_rows * tw, wp),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (rows_l*co, Wp)
         y = acc * s_refs[l][0][:, None] + o_refs[l][0][:, None]
@@ -542,20 +600,38 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
         if valid_w < wp:
             yiota = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             y = y * (yiota < valid_w).astype(y.dtype)
+        if residuals is not None and residuals[l] is not None:
+            j = residuals[l]
+            # center-aligned rows: buf_j carries 2*sum(pads[j+1..l]) extra
+            off = (rows_out[j] - rows_out[l]) // 2
+            src = bufs[j][off:off + rows_out[l], :, :wp]
+            y = (y.reshape(rows_out[l], co, wp)
+                 + src.astype(jnp.float32)).reshape(rows_out[l] * co, wp)
 
         if l == nlayers - 1:
+            if s2_tail:
+                # even-column selection on the MXU (constant 0/1 matrix),
+                # then the junk-tail mask at the HALF-res width
+                y2 = jax.lax.dot_general(
+                    y.astype(out_ref.dtype), sel_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if 0 < w_out < y2.shape[-1]:
+                    yi = jax.lax.broadcasted_iota(jnp.int32, y2.shape, 1)
+                    y2 = y2 * (yi < w_out).astype(y2.dtype)
+                y = y2
             out_ref[0] = y.astype(out_ref.dtype)
         else:
             buf = bufs[l]
             buf[:, :, :wp] = y.astype(buf.dtype).reshape(rows_out[l], co, wp)
             # out-of-image ROWS of this intermediate must be zero too (the
             # next conv's torch zero padding); like the slab DMA, the tail
-            # can span several blocks when h % r_fold != 0
+            # can span several blocks when h % adv != 0
             off = sum(pads[l + 1:])
             ro = rows_out[l]
             for v in range(n_hb):
-                top = max(0, off - v * r_fold)
-                btm = max(0, min(ro, (v * r_fold - off + ro) - h))
+                top = max(0, off - v * adv)
+                btm = max(0, min(ro, (v * adv - off + ro) - h))
                 if not (top or btm):
                     continue
 
@@ -571,12 +647,15 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("th", "relu_flags", "valid_w",
-                                             "keep_wpad", "interpret"))
+                                             "keep_wpad", "residuals",
+                                             "final_stride", "interpret"))
 def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
                        th: int | None = None,
                        relu_flags: tuple = (),
                        valid_w: int | None = None,
                        keep_wpad: bool = False,
+                       residuals: tuple | None = None,
+                       final_stride: int = 1,
                        interpret: bool = False) -> jnp.ndarray:
     """A chain of stride-1 convs (+ per-channel scale/offset/ReLU epilogues)
     over (N, H, C, W), fused into ONE kernel pass per row strip.
@@ -599,23 +678,46 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
         keep_wpad: return the full 128-aligned lane extent (columns beyond
             valid_w hold junk) so the next fused consumer can DMA it
             without a host-side slice copy.
+        residuals: per-layer ``None`` or earlier layer index j — add layer
+            j's output (post-epilogue/-residual) after this layer's ReLU,
+            i.e. Res-block skip adds inside the kernel (reference
+            net/unit/base.py:71-82). Layer j must have the same out
+            channels and cannot be the last layer.
+        final_stride: 2 makes the LAST layer a stride-2 conv (k in {3, 5})
+            via the stride-2 row fold + constant even-column selection
+            matmul — fuses a backbone downsampling transition into the
+            trunk chain so its stride-1 input never reaches HBM.
     Returns:
-        (N, H, Co_last, valid_w | Wp) = exact composition of the layers
-        with torch zero padding at each step.
+        (N, ceil(H/fs), Co_last, W_out | Wp_out) = exact composition of the
+        layers with torch zero padding at each step (fs = final_stride).
     """
     n, h, ci, w_in = x.shape
     vw = valid_w or w_in
     nlayers = len(kernels)
     relu_flags = relu_flags or (True,) * nlayers
     assert len(relu_flags) == nlayers
+    assert final_stride in (1, 2)
+    if residuals is not None:
+        assert len(residuals) == nlayers
+        for l, j in enumerate(residuals):
+            if j is None:
+                continue
+            assert 0 <= j < l < nlayers and j < nlayers - 1
+            assert kernels[j].shape[-1] == kernels[l].shape[-1], \
+                "residual source/target channel mismatch"
+        assert final_stride == 1 or residuals[-1] is None
     co_last = kernels[-1].shape[-1]
-    r_fold = th or max(1, min(128 // co_last, 16, h))
+    h_out = -(-h // final_stride)
+    w_out_t = -(-vw // final_stride)
+    r_fold = th or max(1, min(128 // co_last, 16, h_out))
     ptot = sum((kk.shape[0] - 1) // 2 for kk in kernels)
-    if h > r_fold:  # multi-block: strip DMAs must stay in-image
-        r_fold = min(r_fold, max(ptot, h - ptot))
-        r_fold = max(r_fold, ptot)
-    n_hb = -(-h // r_fold)
+    adv0 = final_stride * r_fold
+    if h > adv0:  # multi-block: strip DMAs must stay in-image
+        r_fold = min(r_fold, max(ptot, h - ptot) // final_stride)
+        r_fold = max(r_fold, -(-ptot // final_stride))
+    n_hb = -(-h_out // r_fold)
     wp = -(-vw // 128) * 128
+    wpo = -(-w_out_t // 128) * 128 if final_stride == 2 else wp
     assert w_in in (vw, wp), (w_in, vw)
     if w_in != wp:
         # unaligned true-width input: one host-side lane pad (aligned DMA)
@@ -626,38 +728,46 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
     align = 4 if x.dtype == jnp.bfloat16 else 8
     assert ci % align == 0, f"chain input channels {ci} not DMA-aligned"
 
-    layers = []
-    wfs, sc2, of2 = [], [], []
-    cis = ci
     pads = [(kk.shape[0] - 1) // 2 for kk in kernels]
+    layers = []
+    cis = ci
     for l, kk in enumerate(kernels):
         k = kk.shape[0]
-        assert k in (1, 3) and kk.shape[2] == cis
+        last_s2 = final_stride == 2 and l == nlayers - 1
+        assert k in ((3, 5) if last_s2 else (1, 3)) and kk.shape[2] == cis
         co = kk.shape[-1]
-        ci_e = cis
-        gg, slot = _layer_geometry(ci_e, x.dtype)
-        nblk = -(-k // gg)
-        rows_l = r_fold + 2 * sum(pads[l + 1:])
-        layers.append((k, ci_e, co, gg, slot, nblk))
-        wfs.append(_fold_rows_grouped(kk.astype(x.dtype), rows_l, k, 1, gg,
-                                      slot, ci_e))
-        sc2.append(jnp.tile(scales[l].reshape(1, co).astype(jnp.float32),
-                            (1, rows_l)))
-        of2.append(jnp.tile(offsets[l].reshape(1, co).astype(jnp.float32),
-                            (1, rows_l)))
+        gg, slot = _layer_geometry(cis, x.dtype)
+        layers.append((k, cis, co, gg, slot, -(-k // gg)))
         cis = co
 
-    rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
-    rows_in = rows_out[0] + 2 * pads[0]
+    rows_out, rows_in, adv, _ = _chain_rows(layers, r_fold, final_stride)
+
+    wfs, sc2, of2 = [], [], []
+    for l, kk in enumerate(kernels):
+        k, ci_e, co, gg, slot, nblk = layers[l]
+        last_s2 = final_stride == 2 and l == nlayers - 1
+        wfs.append(_fold_rows_grouped(kk.astype(x.dtype), rows_out[l], k,
+                                      2 if last_s2 else 1, gg, slot, ci_e))
+        sc2.append(jnp.tile(scales[l].reshape(1, co).astype(jnp.float32),
+                            (1, rows_out[l])))
+        of2.append(jnp.tile(offsets[l].reshape(1, co).astype(jnp.float32),
+                            (1, rows_out[l])))
 
     kern = functools.partial(_conv2d_chain_kernel, r_fold=r_fold,
                              layers=layers, h=h, relu_flags=relu_flags,
-                             valid_w=vw)
+                             valid_w=vw, residuals=residuals,
+                             final_stride=final_stride, w_out=w_out_t)
+
+    def layer_in_rows(l):
+        k = layers[l][0]
+        if final_stride == 2 and l == nlayers - 1:
+            return 2 * rows_out[l] + k - 2
+        return rows_out[l] + k - 1
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [x]
     for l, (k, ci_e, co, gg, slot, nblk) in enumerate(layers):
-        in_rows = rows_out[l] + k - 1
+        in_rows = layer_in_rows(l)
         in_specs += [
             pl.BlockSpec((rows_out[l] * co, in_rows * nblk * slot),
                          lambda i, j, l=l: (0, 0), memory_space=pltpu.VMEM),
@@ -668,10 +778,19 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
         ]
         args += [wfs[l], sc2[l], of2[l]]
 
+    if final_stride == 2:
+        import numpy as np
+        sel_np = np.zeros((wp, wpo), np.float32)
+        cols = np.arange(w_out_t)
+        sel_np[2 * cols, cols] = 1.0
+        in_specs.append(pl.BlockSpec((wp, wpo), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(sel_np, x.dtype))
+
     scratch = [pltpu.VMEM((2, rows_in, ci, wq), x.dtype)]
-    for l, (k, ci_e, co, gg, slot, nblk) in enumerate(layers):
-        in_rows = rows_out[l] + k - 1
-        scratch.append(pltpu.VMEM((in_rows, nblk * slot, wp), x.dtype))
+    taps_rows = max(layer_in_rows(l) for l in range(nlayers))
+    taps_sub = max(nblk * slot for _, _, _, _, slot, nblk in layers)
+    scratch.append(pltpu.VMEM((taps_rows, taps_sub, wp), x.dtype))
     for l in range(nlayers - 1):
         _, _, co, _, _, _ = layers[l]
         scratch.append(pltpu.VMEM((rows_out[l], co, wq), x.dtype))
@@ -681,13 +800,13 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
         kern,
         grid=(n, n_hb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, r_fold * co_last, wp),
+        out_specs=pl.BlockSpec((1, r_fold * co_last, wpo),
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n_hb * r_fold * co_last, wp),
+        out_shape=jax.ShapeDtypeStruct((n, n_hb * r_fold * co_last, wpo),
                                        x.dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    out = out.reshape(n, n_hb * r_fold, co_last, wp)
-    return out[:, :h] if keep_wpad else out[:, :h, :, :w]
+    out = out.reshape(n, n_hb * r_fold, co_last, wpo)
+    return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out_t]

@@ -24,12 +24,19 @@ def test_refine_pallas_matches_xla(rng):
     ref = m_ref.apply(v, depth, drange)
 
     orig = conv2d_kernel.conv2d_fused
+    orig_chain = conv2d_kernel.conv2d_chain_fused
 
-    def forced(x, k, s, o, th=8, stride=1, relu=True, interpret=False):
-        return orig(x, k, s, o, th=th, stride=stride, relu=relu,
-                    interpret=True)
+    def forced(x, k, s, o, **kw):
+        kw["interpret"] = True
+        return orig(x, k, s, o, **kw)
 
-    with mock.patch.object(conv2d_kernel, "conv2d_fused", forced):
+    def forced_chain(*args, **kw):
+        kw["interpret"] = True
+        return orig_chain(*args, **kw)
+
+    with mock.patch.object(conv2d_kernel, "conv2d_fused", forced), \
+            mock.patch.object(conv2d_kernel, "conv2d_chain_fused",
+                              forced_chain):
         pal = m_pal.apply(v, depth, drange)
         v_pal = m_pal.init(jax.random.PRNGKey(0), depth, drange)
 
