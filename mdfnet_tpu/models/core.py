@@ -202,7 +202,11 @@ class CoreNet(nn.Module):
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
 
-        depth = refine(depth, depth_range, train)
+        # the fused pipeline hands refine a padded-lane depth whose junk
+        # columns hold softmax mass — tell it the true stage-2 width
+        refine_vw = (stage_w[2] if (not train and self.pallas_conv)
+                     else None)
+        depth = refine(depth, depth_range, train, refine_vw)
         depths.append(depth)
 
         if train:

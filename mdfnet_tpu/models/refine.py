@@ -40,16 +40,20 @@ class RefineNet2(nn.Module):
     pallas_eval: bool = False
 
     @nn.compact
-    def __call__(self, depth, depth_range, train: bool = False):
+    def __call__(self, depth, depth_range, train: bool = False,
+                 valid_w: int | None = None):
         """
         Args:
-            depth: (B, H/2, W/2) half-res depth.
+            depth: (B, H/2, W/2) half-res depth. Under the fully-fused
+                eval path the lane extent may exceed the true width —
+                pass ``valid_w`` (the columns beyond it hold softmax junk,
+                NOT zeros, and must not leak into the convs).
             depth_range: (B, 2).
         Returns:
             (B, H, W) refined full-res depth.
         """
         if self.pallas_eval and not train:
-            return self._hcw_path(depth, depth_range)
+            return self._hcw_path(depth, depth_range, valid_w)
 
         depth = jax.lax.stop_gradient(depth)[..., None]  # (B, H/2, W/2, 1)
         b = depth.shape[0]
@@ -73,7 +77,7 @@ class RefineNet2(nn.Module):
         x = dmin + x * (dmax - dmin)
         return x[..., 0]
 
-    def _hcw_path(self, depth, depth_range):
+    def _hcw_path(self, depth, depth_range, valid_w=None):
         from mdfnet_tpu.ops.pallas.conv2d_kernel import (
             conv2d_chain_fused, conv2d_fused)
         c = self.base_chs
@@ -84,6 +88,15 @@ class RefineNet2(nn.Module):
         dmax = depth_range[:, 1].astype(jnp.float32).reshape(b, 1, 1, 1)
         x = ((depth.astype(jnp.float32)[:, :, None, :] - dmin)
              / (dmax - dmin)).astype(dtype)          # (B, H/2, 1, W/2)
+        w2v = valid_w or depth.shape[-1]
+        if depth.shape[-1] != w2v:
+            # the fused pipeline keeps the volume's padded lane extent and
+            # its junk columns are softmax mass, not zeros: zero them so
+            # the chain's boundary taps see torch zero padding, and drop
+            # the extent down to this stage's 128-aligned width
+            wp2 = min(-(-w2v // 128) * 128, depth.shape[-1])
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, wp2), 3)
+            x = x[..., :wp2] * (lane < w2v).astype(x.dtype)
 
         ones = jnp.ones((c,), jnp.float32)
         zeros = jnp.zeros((c,), jnp.float32)
@@ -119,7 +132,6 @@ class RefineNet2(nn.Module):
         offsets.append(jnp.zeros((4 * c,), jnp.float32))
         relus.append(False)
         resid.append(None)
-        w2v = x.shape[-1]
         x = conv2d_chain_fused(xin, [kk.astype(dtype) for kk in kernels],
                                scales, offsets, th=16,
                                relu_flags=tuple(relus), valid_w=w2v,
