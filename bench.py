@@ -71,5 +71,32 @@ def main():
     }))
 
 
+def _wait_for_device(max_wait: float = 600.0) -> None:
+    """Block until a jax backend initializes (probed in a subprocess — a
+    failed in-process init can be cached by jax). The TPU tunnel flaps
+    occasionally; don't let a flap at bench time cost the run. Gives up
+    after ``max_wait`` seconds and lets main() surface the real error."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("bench: no jax backend after %.0fs; proceeding to fail"
+                  % max_wait, file=sys.stderr)
+            return
+        print("bench: jax backend unavailable, retrying...", file=sys.stderr)
+        time.sleep(30)
+
+
 if __name__ == "__main__":
+    _wait_for_device()
     main()
