@@ -89,6 +89,9 @@ def test_fully_fused_pallas_model_matches_dense():
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # script-mode python puts tests/ on sys.path, not the repo root
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     r = subprocess.run(
         [sys.executable, __file__],
         cwd="/root/repo", env=env, capture_output=True,
