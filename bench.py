@@ -71,11 +71,14 @@ def main():
     }))
 
 
-def _wait_for_device(max_wait: float = 600.0) -> None:
-    """Block until a jax backend initializes (probed in a subprocess — a
-    failed in-process init can be cached by jax). The TPU tunnel flaps
-    occasionally; don't let a flap at bench time cost the run. Gives up
-    after ``max_wait`` seconds and lets main() surface the real error."""
+def _wait_for_device(max_wait: float = 1800.0) -> None:
+    """Block until an ACCELERATOR jax backend initializes (probed in a
+    subprocess — a failed in-process init can be cached by jax). The TPU
+    tunnel flaps occasionally; a flap at bench time must not record a
+    CPU-fallback number as the round's result, so the probe rejects
+    platform == "cpu" (jax silently falls back to CPU when the TPU plugin
+    fails to init). Gives up after ``max_wait`` seconds and lets main()
+    surface whatever backend is really there."""
     import subprocess
     import sys
 
@@ -83,17 +86,18 @@ def _wait_for_device(max_wait: float = 600.0) -> None:
     while True:
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
                 capture_output=True, timeout=180)
             if r.returncode == 0:
                 return
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
-            print("bench: no jax backend after %.0fs; proceeding to fail"
+            print("bench: no accelerator after %.0fs; proceeding anyway"
                   % max_wait, file=sys.stderr)
             return
-        print("bench: jax backend unavailable, retrying...", file=sys.stderr)
+        print("bench: accelerator unavailable, retrying...", file=sys.stderr)
         time.sleep(30)
 
 
