@@ -66,7 +66,7 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                      k0_ref,            # (1, C) f32
                      sc_ref,            # (1, 128) f32 [bn_s, bn_o, k1, b1]
                      mats_ref,          # (S, 128) f32 rel-matrix coefficients
-                     hyp_ref,           # (D, R, Wp) block | (1, Dp) scalars
+                     hyp_ref,           # (R, D, Wp) block | (1, Dp) scalars
                      diffs_ref,         # (S, H, C, Wp) ANY/HBM
                      out_ref,           # (D, R, C, Wp) block @ row-block
                      window, vol, wsum, blend_buf, sems,
@@ -128,7 +128,7 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
 
             def dbody(d, _, s=s, r=r, q=q, w0=w0, gu=gu, gv=gv, gz=gz):
                 if px_hyp:
-                    dep = hyp_ref[d, r][None, :]         # (1, Wp) f32
+                    dep = hyp_ref[r, d][None, :]         # (1, Wp) f32
                 else:
                     dep = hyp_ref[0, d]                  # scalar f32
                 z = gz * dep + m[11]
@@ -372,8 +372,12 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
 
     px_hyp = hypos.shape[-1] != 1
     if px_hyp:
-        # per-pixel hypotheses stream as (D, Hp, Wp) f32 row blocks — the
-        # only per-pixel warp input left (8x smaller than the v2 coords)
+        # per-pixel hypotheses stream as (Hp, D, Wp) f32 row blocks — the
+        # only per-pixel warp input left (8x smaller than the v2 coords).
+        # Row-major layout: the block's sublane dim is the FULL D axis
+        # (always legal for Mosaic) while the r_rows block rides the
+        # untiled major axis — r_rows is accumulator-sized (often 4) and
+        # must not be forced to a multiple of 8.
         hyp_a = hypos.astype(jnp.float32)
         if hyp_a.shape[-1] != wp:
             hyp_a = jnp.pad(hyp_a, ((0, 0), (0, 0),
@@ -381,7 +385,8 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         if hyp_a.shape[1] != hpad:
             hyp_a = jnp.pad(hyp_a, ((0, 0), (0, hpad - hyp_a.shape[1]),
                                     (0, 0)), mode="edge")
-        hyp_spec = pl.BlockSpec((nd, r_rows, wp), lambda i, *_: (0, i, 0),
+        hyp_a = hyp_a.transpose(1, 0, 2)               # (Hp, D, Wp)
+        hyp_spec = pl.BlockSpec((r_rows, nd, wp), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         ndp = -(-nd // 128) * 128

@@ -326,7 +326,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             kern,
             grid=(n, h_out_pad // r_fold),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((r_fold * co, rows * nblk * slot),
                              lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
@@ -378,7 +378,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         kern,
         grid=(n, h_out_pad // r_fold),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((r_fold * co, rows * nblk * slot),
                          lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),

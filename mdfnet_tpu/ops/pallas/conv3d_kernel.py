@@ -388,7 +388,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         kern,
         grid=(d_out, h_out_pad // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, co, 3 * ci), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i, j: (0, 0),

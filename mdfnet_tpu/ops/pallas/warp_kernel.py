@@ -207,7 +207,7 @@ def pallas_sample_2d_multi(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, TG, tile), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, TG, c, tile), lambda i, *_: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
