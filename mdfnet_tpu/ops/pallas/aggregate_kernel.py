@@ -71,7 +71,8 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                      out_ref,           # (D, R, C, Wp) block @ row-block
                      window, vol, wsum, blend_buf, sems,
                      *, n_src: int, kprime: int, nd: int, kb: int,
-                     r_rows: int, nb: int, px_hyp: bool, wvalid: int = 0):
+                     r_rows: int, nb: int, px_hyp: bool, wvalid: int = 0,
+                     hd_major: bool = False):
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
     wp = blend_buf.shape[-1]
@@ -166,8 +167,12 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                 sfield = jnp.sum(sim * k0[:, None], axis=0)   # (Wp,)
                 act = jnp.maximum(sfield * bn_s + bn_o, 0.0)
                 wgt = jax.nn.sigmoid(act * k1 + b1)           # (Wp,)
-                vol[d, r] = vol[d, r] + sim * wgt[None, :]
-                wsum[d, r] = wsum[d, r] + wgt
+                if hd_major:
+                    vol[r, d] = vol[r, d] + sim * wgt[None, :]
+                    wsum[r, d] = wsum[r, d] + wgt
+                else:
+                    vol[d, r] = vol[d, r] + sim * wgt[None, :]
+                    wsum[d, r] = wsum[d, r] + wgt
                 return 0
 
             # fully unrolled: Mosaic software-pipelines consecutive planes
@@ -310,13 +315,13 @@ def _pick_r_rows(nd: int, c: int, wp: int, h: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
-                                             "interpret"))
+                                             "interpret", "out_layout"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
                        kb: int = 4, valid_w: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, out_layout: str = "dhcw"):
     """Fused warp + aggregate for ONE batch item.
 
     Args:
@@ -329,13 +334,19 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         k1, b1: DepthWeight conv1 scalar weight/bias.
         k_win: base y-window rows per row-block (grows with the block size).
         kb: y-band rows per (row, plane) — the per-plane coverage contract.
+        out_layout: "dhcw" (default) emits (D, H, C, Wp) for the conv3d
+            U-Net; "hdcw" emits (H, D, C, Wp) — reshape-free input to the
+            depth-folded conv2d U-Net (kills its (D,H)->(H,D) transpose of
+            the full volume). Same cost in-kernel: the accumulator scratch
+            is simply laid out in the requested order.
     Returns:
-        (volume, cover): volume (D, H, C, Wp) aggregated cost volume
-        (Wp = W padded to 128; columns beyond W hold the zero-feature
-        similarity, slice before use); cover () bool — True iff the kernel's
-        y-band/window/x-window contracts all held, i.e. the volume is exact.
-        On False, fall back to the dense/gather path.
+        (volume, cover): volume (D, H, C, Wp) or (H, D, C, Wp) aggregated
+        cost volume (Wp = W padded to 128; columns beyond W hold the
+        zero-feature similarity, slice before use); cover () bool — True
+        iff the kernel's y-band/window/x-window contracts all held, i.e.
+        the volume is exact. On False, fall back to the dense/gather path.
     """
+    assert out_layout in ("dhcw", "hdcw"), out_layout
     n_src, h, c, w_in = diffs.shape
     w = valid_w or w_in
     nd = depth_hypos.shape[0]
@@ -409,9 +420,24 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     scalars = scalars.at[0, 0].set(bn_scale).at[0, 1].set(bn_offset)
     scalars = scalars.at[0, 2].set(k1).at[0, 3].set(b1)
 
+    hd_major = out_layout == "hdcw"
     kern = functools.partial(_rowsweep_kernel, n_src=n_src, kprime=kprime,
                              nd=nd, kb=kb, r_rows=r_rows, nb=nb,
-                             px_hyp=px_hyp, wvalid=w)
+                             px_hyp=px_hyp, wvalid=w, hd_major=hd_major)
+    if hd_major:
+        acc_shape = (r_rows, nd, c, wp)
+        wsum_shape = (r_rows, nd, wp)
+        out_spec = pl.BlockSpec((r_rows, nd, c, wp),
+                                lambda i, *_: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (hpad, nd, c, wp)
+    else:
+        acc_shape = (nd, r_rows, c, wp)
+        wsum_shape = (nd, r_rows, wp)
+        out_spec = pl.BlockSpec((nd, r_rows, c, wp),
+                                lambda i, *_: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (nd, hpad, c, wp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -428,13 +454,11 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
             hyp_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((nd, r_rows, c, wp),
-                               lambda i, *_: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
-            pltpu.VMEM((nd, r_rows, c, wp), jnp.float32),
-            pltpu.VMEM((nd, r_rows, wp), jnp.float32),
+            pltpu.VMEM(acc_shape, jnp.float32),
+            pltpu.VMEM(wsum_shape, jnp.float32),
             pltpu.VMEM((c, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_src)),
         ],
@@ -442,10 +466,10 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nd, hpad, c, wp), diffs.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, diffs.dtype),
         interpret=interpret,
     )(wstart, yrel, xblk, q_p, k0_2, scalars, mats, hyp_a, diffs)
-    return out[:, :h], cover
+    return (out[:h] if hd_major else out[:, :h]), cover
 
 
 def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,

@@ -125,6 +125,16 @@ def _fully_fused_check():
                                np.asarray(out_dense["confidence"]),
                                atol=5e-2)
 
+    # (B, V, H, 3, W) device-layout images (what bench/eval feed on TPU)
+    # must produce bit-identical outputs — the transpose moves to the host
+    args_hcw = (jnp.swapaxes(args[0], -1, -2),) + args[1:]
+    with _interpret_all_kernels():
+        out_hcw = m_fast.apply(variables, *args_hcw, train=False)
+    np.testing.assert_array_equal(np.asarray(out_hcw["depth"]),
+                                  np.asarray(out_fast["depth"]))
+    np.testing.assert_array_equal(np.asarray(out_hcw["confidence"]),
+                                  np.asarray(out_fast["confidence"]))
+
 
 if __name__ == "__main__":
     _fully_fused_check()

@@ -93,16 +93,46 @@ def census(module_text: str, top: int):
         print(f"            {line}")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--height", type=int, default=1184)
-    ap.add_argument("--width", type=int, default=1600)
-    ap.add_argument("--nviews", type=int, default=5)
-    ap.add_argument("--top", type=int, default=30)
-    ap.add_argument("--dump", type=str, default="",
-                    help="also write the module text here")
-    args = ap.parse_args()
+def attribute(module_text: str, top: int = 25):
+    """Aggregate layout-op bytes by (op kind, python source chain) using
+    the module's #loc table — answers 'WHERE do the big copies come from'.
+    Pre-fusion numbers: XLA fuses most elementwise/broadcast chains, but
+    transposes/pads feeding pallas_call custom-calls are real copies."""
+    locdef = {}
+    for m in re.finditer(r"^#loc(\d*) = loc\((.*)\)$", module_text, re.M):
+        locdef[m.group(1) or "0"] = m.group(2)
 
+    def resolve(lid, depth=0):
+        if depth > 12:
+            return "..."
+        d = locdef.get(lid, "?")
+        out = []
+        for fm in re.finditer(r'"([^"]+\.py)":(\d+)', d):
+            out.append(f"{fm.group(1).split('/')[-1]}:{fm.group(2)}")
+        for rm in re.finditer(r"#loc(\d+)", d):
+            sub = resolve(rm.group(1), depth + 1)
+            if sub:
+                out.append(sub)
+        return " <- ".join(o for o in out if o)
+
+    agg = collections.Counter()
+    pat = re.compile(
+        r"= stablehlo\.(transpose|pad|concatenate|gather|iota|reverse|slice)"
+        r"\b[^\n]*?tensor<([0-9x]*)x((?:f|bf|i|ui)\d+)>\s*loc\(#loc(\d+)\)")
+    for m in pat.finditer(module_text):
+        op, sh, dt, lid = m.groups()
+        agg[(op, resolve(lid))] += tensor_bytes(sh, dt)
+    print("\n== layout bytes by (op, source chain) ==")
+    for (op, src), b in agg.most_common(top):
+        print(f"{b / 1e6:9.1f} MB  {op:12s} {src[:140]}")
+
+
+def export_forward(height: int = 1184, width: int = 1600,
+                   nviews: int = 5) -> str:
+    """TPU-target StableHLO of the bench-config forward, lowered on any
+    host via jax.export. Raises if any Pallas kernel fails Mosaic lowering
+    at these shapes — the compile check bench.py would otherwise only hit
+    on the real chip (tests/test_tpu_lowering.py pins this)."""
     import jax
     import jax.numpy as jnp
     from jax import export
@@ -113,8 +143,8 @@ def main():
 
     model = build_model(ModelConfig(compute_dtype="bfloat16",
                                     warp_impl="fused", pallas_conv=True))
-    scene = make_plane_scene(height=args.height, width=args.width,
-                             nviews=args.nviews, plane_depth=650.0, tilt=0.05)
+    scene = make_plane_scene(height=height, width=width,
+                             nviews=nviews, plane_depth=650.0, tilt=0.05)
     batch = make_batch(scene, batch=1)
     call_args = (jnp.asarray(batch["imgs"]), jnp.asarray(batch["extrinsics"]),
                  jnp.asarray(batch["intrinsics"]),
@@ -129,12 +159,26 @@ def main():
 
     shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in call_args]
     exp = export.export(jax.jit(forward), platforms=["tpu"])(*shapes)
-    text = exp.mlir_module()
+    return exp.mlir_module()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1184)
+    ap.add_argument("--width", type=int, default=1600)
+    ap.add_argument("--nviews", type=int, default=5)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dump", type=str, default="",
+                    help="also write the module text here")
+    args = ap.parse_args()
+
+    text = export_forward(args.height, args.width, args.nviews)
     if args.dump:
         with open(args.dump, "w") as f:
             f.write(text)
         print(f"module dumped to {args.dump} ({len(text) / 1e6:.1f} MB)")
     census(text, args.top)
+    attribute(text, args.top)
 
 
 if __name__ == "__main__":
