@@ -468,6 +468,11 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, diffs.dtype),
         interpret=interpret,
+        # the fully-unrolled plane loop software-pipelines hundreds of
+        # bodies; its Mosaic stack outgrows the 16 MB default scoped-vmem
+        # limit at stage-1 shapes (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(wstart, yrel, xblk, q_p, k0_2, scalars, mats, hyp_a, diffs)
     return (out[:h] if hd_major else out[:, :h]), cover
 
