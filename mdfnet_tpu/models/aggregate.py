@@ -185,17 +185,12 @@ class VectorAggregate(nn.Module):
             from mdfnet_tpu.ops.pallas.aggregate_kernel import (
                 rowsweep_aggregate)
             assert pair_diffs is not None, "fused path needs hcw pair_diffs"
+            b, h, _, w_in = pair_diffs[0].shape
+            vw = valid_w or w_in
             k0, bn_s, bn_o, k1, b1 = weight_net(None, train=False,
                                                 fold_params=True)
-            if isinstance(pair_diffs, (list, tuple)):
-                q = nn.sigmoid(pair_diffs[0])
-                diffs = jnp.stack(pair_diffs[1:], axis=1)  # (B, S, H, G, W)
-            else:
-                # stacked (B, V, H, G, W): src views are a contiguous slice
-                q = nn.sigmoid(pair_diffs[:, 0])
-                diffs = pair_diffs[:, 1:]
-            b, h, _, w_in = q.shape
-            vw = valid_w or w_in
+            q = nn.sigmoid(pair_diffs[0])
+            diffs = jnp.stack(pair_diffs[1:], axis=1)  # (B, S, H, G, W)
             outs, covers = zip(*[
                 rowsweep_aggregate(diffs[bi], q[bi], src_projs[bi],
                                    ref_proj[bi], depth_hypos[bi],

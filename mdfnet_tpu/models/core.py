@@ -152,15 +152,7 @@ class CoreNet(nn.Module):
                 else:
                     dstack = f[..., 0::2] - f[..., 1::2]
                 dstack = dstack.reshape((b, nviews) + dstack.shape[1:])
-                if self.pallas_conv and fused:
-                    # fully-fused path: keep the stacked (B, V, H, G, W)
-                    # tensor — the src views 1: are contiguous, so the
-                    # rowsweep kernel's diffs operand is a contiguous slice
-                    # instead of a slice-list + re-stack (two full copies
-                    # of the stage features, ~160 MB/forward at eval size)
-                    stage_diffs.append(dstack)
-                else:
-                    stage_diffs.append([dstack[:, v] for v in range(nviews)])
+                stage_diffs.append([dstack[:, v] for v in range(nviews)])
 
         depth = None
         depth_hypos = None

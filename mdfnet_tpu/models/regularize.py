@@ -66,22 +66,20 @@ class ProbConv(nn.Module):
             return y[..., 0].astype(jnp.float32)
         out = jnp.zeros((b, d, h, w), jnp.float32)
         if dhcw:
-            # one fused Co=1 conv2d per dz tap, each reading D-shifted
-            # planes of the SAME volume buffer (n_offset, in-kernel N-edge
-            # zeros == torch's D zero padding): no host-side D-pad or
-            # per-dz slice copies (~230 MB/forward at stage-0 eval size;
-            # the 27-slice XLA loop before that re-read the volume 9x)
+            # one fused Co=1 conv2d per dz tap over D-shifted views (dim-0
+            # slices are cheap): the 27-slice XLA loop re-read the volume 9x
             from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
             one = jnp.ones((1,), jnp.float32)
             zero = jnp.zeros((1,), jnp.float32)
             outs = []
             for bi in range(b):
-                xb = x[bi].astype(dtype)
+                xp = jnp.pad(x[bi].astype(dtype),
+                             ((1, 1), (0, 0), (0, 0), (0, 0)))
                 acc = jnp.zeros((d, h, w), jnp.float32)
-                vwk = w if w != xb.shape[-1] else None
+                vwk = w if w != xp.shape[-1] else None
                 for dz in range(3):
-                    y = conv2d_fused(xb, k[dz], one, zero, relu=False,
-                                     valid_w=vwk, n_offset=dz - 1)
+                    y = conv2d_fused(xp[dz:dz + d], k[dz], one, zero,
+                                     relu=False, valid_w=vwk)
                     acc = acc + y[:, :, 0, :].astype(jnp.float32)
                 outs.append(acc)
             return jnp.stack(outs)

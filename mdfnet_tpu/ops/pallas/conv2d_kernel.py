@@ -158,12 +158,12 @@ def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
 
 @functools.partial(jax.jit, static_argnames=("th", "stride", "relu",
                                              "valid_w", "keep_wpad",
-                                             "n_offset", "interpret"))
+                                             "interpret"))
 def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                  offset: jnp.ndarray, *, th: int | None = None,
                  stride: int = 1, relu: bool = True,
                  valid_w: int | None = None, keep_wpad: bool = False,
-                 n_offset: int = 0, interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False) -> jnp.ndarray:
     """Fused conv2d + per-channel scale/offset (+ ReLU) on (N, H, C, W).
 
     Args:
@@ -180,10 +180,6 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             this kernel's existing host-side pad copy — zero extra cost).
         keep_wpad: return the full 128-aligned lane extent for the next
             fused consumer (columns beyond ceil(W_out) hold junk).
-        n_offset: read input plane n + n_offset for output plane n, with
-            out-of-range planes zero-filled in-kernel — N-axis torch zero
-            padding without a host-side pad/slice copy (used to sweep a
-            small kernel window over N, e.g. ProbConv's three dz taps).
     Returns:
         (N, H_out, Co, W_out), *_out = ceil(*/stride).
     """
@@ -207,7 +203,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     return conv2d_chain_fused(x, [kernel], [scale], [offset], th=th,
                               relu_flags=(relu,), valid_w=valid_w,
                               keep_wpad=keep_wpad, final_stride=stride,
-                              n_offset=n_offset, interpret=interpret)
+                              interpret=interpret)
 
 
 def _layer_geometry(ci_e: int, dtype) -> tuple[int, int]:
@@ -245,8 +241,7 @@ def _chain_rows(layers, r_fold: int, final_stride: int):
 
 def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
                          relu_flags, valid_w: int, residuals=None,
-                         final_stride: int = 1, w_out: int = 0,
-                         n_offset: int = 0):
+                         final_stride: int = 1, w_out: int = 0):
     """L stride-1 convs (optionally a final stride-2 conv) on one row strip,
     intermediates held in VMEM.
 
@@ -307,29 +302,7 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
 
     def issue(what, slot, nn, hh):
         """Edge-aware slab DMA: rows [hh*r_fold - ptot, +rows_in) of the
-        UNPADDED input, with out-of-image rows zero-filled in VMEM.
-
-        ``n_offset`` != 0 reads plane nn + n_offset instead, zero-filling
-        the whole slab when that plane is outside [0, N) — N-axis torch
-        zero padding without a host-side pad or slice copy (callers sweep
-        a small kernel window over the N axis, e.g. the dhcw ProbConv's
-        three dz taps over the SAME volume buffer)."""
-        if n_offset:
-            pn = nn + n_offset
-            ntot = pl.num_programs(0)
-            oob = (pn < 0) | (pn >= ntot)
-            if what == "start":
-                @pl.when(oob)
-                def _():
-                    slab[slot] = jnp.zeros(slab.shape[1:], slab.dtype)
-
-            @pl.when(jnp.logical_not(oob))
-            def _():
-                issue_in(what, slot, jnp.clip(pn, 0, ntot - 1), hh)
-            return
-        issue_in(what, slot, nn, hh)
-
-    def issue_in(what, slot, nn, hh):
+        UNPADDED input, with out-of-image rows zero-filled in VMEM."""
         def go(row0, dst0, length):
             cp = pltpu.make_async_copy(
                 x_ref.at[nn, pl.ds(row0, length)],
@@ -482,8 +455,7 @@ def _conv2d_chain_kernel(x_ref, *refs, r_fold: int, layers, h: int,
 
 @functools.partial(jax.jit, static_argnames=("th", "relu_flags", "valid_w",
                                              "keep_wpad", "residuals",
-                                             "final_stride", "n_offset",
-                                             "interpret"))
+                                             "final_stride", "interpret"))
 def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
                        th: int | None = None,
                        relu_flags: tuple = (),
@@ -491,7 +463,6 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
                        keep_wpad: bool = False,
                        residuals: tuple | None = None,
                        final_stride: int = 1,
-                       n_offset: int = 0,
                        interpret: bool = False) -> jnp.ndarray:
     """A chain of stride-1 convs (+ per-channel scale/offset/ReLU epilogues)
     over (N, H, C, W), fused into ONE kernel pass per row strip.
@@ -599,8 +570,7 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
     kern = functools.partial(_conv2d_chain_kernel, r_fold=r_fold,
                              layers=layers, h=h, relu_flags=relu_flags,
                              valid_w=vw, residuals=residuals,
-                             final_stride=final_stride, w_out=w_out_t,
-                             n_offset=n_offset)
+                             final_stride=final_stride, w_out=w_out_t)
 
     def layer_in_rows(l):
         k = layers[l][0]

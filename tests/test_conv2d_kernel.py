@@ -44,28 +44,6 @@ def test_conv2d_fused_matches_lax(rng, ks, stride, ci, co, relu):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
-@pytest.mark.parametrize("n_offset", [-1, 0, 1])
-def test_conv2d_fused_n_offset(rng, n_offset):
-    """n_offset reads plane n + n_offset with zero fill out of range —
-    equivalent to convolving a zero-padded-and-shifted N window (the dhcw
-    ProbConv's dz taps, models/regularize.py)."""
-    n, h, ci, co, w = 5, 12, 8, 8, 40
-    x = rng.randn(n, h, ci, w).astype(np.float32)
-    k = (rng.randn(3, 3, ci, co) * 0.2).astype(np.float32)
-    scale = np.ones(co, np.float32)
-    offset = np.zeros(co, np.float32)
-
-    xsh = np.zeros_like(x)
-    src = np.arange(n) + n_offset
-    ok = (src >= 0) & (src < n)
-    xsh[ok] = x[src[ok]]
-    ref = _ref_conv(xsh, k, scale, offset, 1, True)
-    out = conv2d_fused(jnp.asarray(x), jnp.asarray(k), jnp.asarray(scale),
-                       jnp.asarray(offset), th=4, n_offset=n_offset,
-                       interpret=True)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
-
-
 def test_conv2d_fused_odd_sizes(rng):
     """Non-divisible H/W exercise the padding/slicing edges."""
     x = rng.randn(1, 13, 8, 37).astype(np.float32)
