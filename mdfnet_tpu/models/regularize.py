@@ -409,13 +409,7 @@ class RegularNet4Scales(nn.Module):
             y = conv2d_kernel.conv2d_fused(
                 inp, kf, jnp.tile(s, 4 * dout), jnp.tile(o, 4 * dout),
                 valid_w=vwl, keep_wpad=True)
-            # full-extent interleave: junk columns stay junk (and zero), so
-            # the skip add below slices to the fine level's aligned extent
-            # (fuses into the add) and every conv input arrives 128-aligned
-            # — no host-side pad copy anywhere in the net
-            return fold2d.interleave_2x2(y, dout * co)
-
-        wp = lambda ww: -(-ww // 128) * 128  # noqa: E731
+            return fold2d.interleave_2x2(y, dout * co, vwl)
 
         v1 = conv("conv01", cin, c0, d, 1, xf, vw)
         v = conv("conv12_0", c0, c1, d, 2, v1, vw)
@@ -424,9 +418,9 @@ class RegularNet4Scales(nn.Module):
         v3 = conv("conv23_1", c2, c2, d2, 1, v, w2)
         v = conv("conv343_0", c2, c3, d2, 2, v3, w2)
         v = conv("conv343_1", c3, c3, d3, 1, v, w3)
-        v = trconv("conv343_2", c3, c2, d3, v, w3)[..., :wp(w2)] + v3
-        v = trconv("trconv32", c2, c1, d2, v, w2)[..., :wp(w1)] + v2
-        v = trconv("trconv21", c1, c0, d1, v, w1)[..., :wp(vw)] + v1
+        v = trconv("conv343_2", c3, c2, d3, v, w3) + v3[..., :w2]
+        v = trconv("trconv32", c2, c1, d2, v, w2) + v2[..., :w1]
+        v = trconv("trconv21", c1, c0, d1, v, w1) + v1[..., :vw]
         pk = _ConvKernelParam((3, 3, 3, c0, 1), c0 * 27, name="prob")()
         kp = fold2d.fold_conv3d(pk.astype(dt), d, 1)
         y = conv2d_kernel.conv2d_fused(

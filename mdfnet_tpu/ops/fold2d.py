@@ -80,16 +80,9 @@ def fold_trconv3d(kernel: jnp.ndarray, din: int) -> jnp.ndarray:
     return w.reshape(3, 3, din * ci, 4 * dout * co)
 
 
-def interleave_2x2(y: jnp.ndarray, cf: int, wc: int | None = None
-                   ) -> jnp.ndarray:
-    """Phase-grouped trconv output (B, Hc, 4*cf, Wc) -> fine grid
-    (B, 2*Hc, cf, 2*min(wc, Wc)): out[2y+py, c, 2x+px] = y[y,
-    (py*2+px)*cf+c, x]. With wc=None the full (128-aligned keep_wpad) lane
-    extent interleaves: junk coarse columns land beyond 2x the true width
-    and stay junk (zero when the producer zeroes its keep_wpad tail), so
-    the result feeds the next fused conv without any host-side pad copy."""
+def interleave_2x2(y: jnp.ndarray, cf: int, wc: int) -> jnp.ndarray:
+    """Phase-grouped trconv output (B, Hc, 4*cf, >=wc) -> fine grid
+    (B, 2*Hc, cf, 2*wc): out[2y+py, c, 2x+px] = y[y, (py*2+px)*cf+c, x]."""
     b, hc = y.shape[:2]
-    wcp = y.shape[-1] if wc is None else wc
-    y = y[..., :wcp].reshape(b, hc, 2, 2, cf, wcp)
-    return jnp.transpose(y, (0, 1, 2, 4, 5, 3)).reshape(b, 2 * hc, cf,
-                                                        2 * wcp)
+    y = y[..., :wc].reshape(b, hc, 2, 2, cf, wc)
+    return jnp.transpose(y, (0, 1, 2, 4, 5, 3)).reshape(b, 2 * hc, cf, 2 * wc)

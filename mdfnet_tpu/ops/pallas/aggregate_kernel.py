@@ -56,6 +56,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mdfnet_tpu import geometry
+
 
 def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                      yrel_ref,          # scalar prefetch (HB, S*R*D) i32
@@ -188,82 +190,100 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
     out_ref[...] = res.astype(out_ref.dtype)
 
 
-def _plan(mats, hypos_p, h, w, wp, kb, r_rows, kprime):
+def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
+    """Effective sample coords per src in (S, H, D, Wp) layout (f32), with
+    out-of-range fill (-2: zero tent weight everywhere).
+
+    Computed directly on a Wp-wide pixel grid with the pad columns MASKED
+    (a select that fuses into the coordinate math) — padding the (S, H, D,
+    Wp) f32 arrays afterwards cost a full extra copy per array (XLA
+    profile at bench size)."""
+    n_src = src_projs.shape[0]
+    d = depth_hypos.shape[0]
+    hyp = depth_hypos
+    if hyp.shape[-1] not in (1, wp):
+        # per-pixel hypotheses: edge-pad the lanes (small vs the coords)
+        hyp = jnp.pad(hyp, ((0, 0), (0, 0), (0, wp - hyp.shape[-1])),
+                      mode="edge")
+    xs, ys = [], []
+    for s in range(n_src):
+        x_src, y_src = geometry.sweep_coordinates(
+            src_projs[s:s + 1].astype(jnp.float32),
+            ref_proj[None].astype(jnp.float32),
+            hyp[None].astype(jnp.float32), h, wp)
+        x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
+        xs.append(x_eff.reshape(d, h, wp))
+        ys.append(y_eff.reshape(d, h, wp))
+    xs = jnp.stack(xs).transpose(0, 2, 1, 3)   # (S, H, D, Wp)
+    ys = jnp.stack(ys).transpose(0, 2, 1, 3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 3)
+    xs = jnp.where(lane < w, xs, -2.0)
+    ys = jnp.where(lane < w, ys, -2.0)
+    return jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys)
+
+
+def _band_starts(ys, h, kb):
+    """Per (src, row, plane) kb-row y-band top rows + the per-plane coverage
+    flag (every in-image y tap inside its band). ys: (S, H, D, Wp)."""
+    valid = (ys > -1.0) & (ys < h) & jnp.isfinite(ys)
+    big = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(valid, ys, big), axis=-1)    # (S, H, D)
+    ymax = jnp.max(jnp.where(valid, ys, -big), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    band = jnp.clip(jnp.floor(ymin), 0.0, max(h - kb, 0)).astype(jnp.int32)
+    band = jnp.where(any_valid, band, 0)
+    # needed rows are floor(y) >= 0 and floor(y)+1 <= h-1 (out-of-image taps
+    # contribute zero under grid_sample zeros padding)
+    hi = jnp.minimum(jnp.floor(ymax) + 1.0, h - 1.0)
+    cover = jnp.all(jnp.where(
+        any_valid, hi <= band.astype(jnp.float32) + kb - 1, True))
+    return band, cover
+
+
+def _x_block_starts(xs, w):
+    """Per (src, row, plane, out-block) 128-aligned source-window start
+    block for the banded x-interp, plus the coverage flag (every in-image
+    tap of an out block inside its 256-col window). xs: (S, H, D, Wp)."""
+    wp = xs.shape[-1]
+    nb = wp // 128
+    xsb = xs.reshape(xs.shape[:-1] + (nb, 128))
+    valid = (xsb > -1.0) & (xsb < w)
+    big = jnp.float32(1e9)
+    xmin = jnp.min(jnp.where(valid, xsb, big), axis=-1)
+    xmax = jnp.max(jnp.where(valid, xsb, -big), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    start = jnp.floor(jnp.maximum(xmin, 0.0) / 128.0).astype(jnp.int32)
+    start = jnp.clip(jnp.where(any_valid, start, 0), 0, max(nb - 2, 0))
+    hi_tap = jnp.minimum(jnp.floor(xmax) + 1.0, w - 1.0)
+    cover = jnp.all(jnp.where(
+        any_valid, hi_tap <= start.astype(jnp.float32) * 128.0 + 255.0, True))
+    return start, cover  # (S, H, D, NB)
+
+
+def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
     """DMA-window prefetch arrays + the coverage flag for the kernel.
 
-    Args:
-        mats: (S, 12) f32 — the SAME pre-scaled rel-matrix coefficients the
-            kernel reconstructs coordinates from (plan and kernel evaluate
-            literally the same expression, so the windows are planned for
-            the exact coordinates the kernel will use).
-        hypos_p: (D, Hp, Wp) f32 hypotheses, rows/lanes edge-padded — the
-            pre-transpose form of the kernel's hyp stream — or (D, 1, 1).
-
     Returns (wstart, yrel, xblk_flat, cover); row axes are padded
-    (edge-replicated y grid) to Hp = ceil(h / r_rows) * r_rows. The
-    coordinates are evaluated per src in their natural (D, Hp, Wp) layout
-    and reduced over lanes IMMEDIATELY — elementwise math fuses into the
-    min/max reductions, so nothing (Hp, Wp)-sized ever round-trips HBM
-    (the previous stack/transpose-then-reduce form materialised ~0.5 GB of
-    f32 coordinate arrays per forward just to feed these reductions).
+    (edge-replicated) to ceil(h / r_rows) * r_rows. The full coordinate
+    arrays exist here only as inputs to min/max reductions — XLA fuses the
+    coordinate math into the reduces, so nothing (Hp, Wp)-sized per plane
+    has to round-trip HBM; the kernel rebuilds the exact same coordinates
+    in-registers from the per-view matrices.
     """
-    n_src = mats.shape[0]
-    nd = hypos_p.shape[0]
+    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
+    nd = hypos.shape[0]
     nb = wp // 128
+    n_src = src_projs.shape[0]
+
     hb_count = -(-h // r_rows)
     hpad = hb_count * r_rows
+    if hpad != h:
+        rpad = ((0, 0), (0, hpad - h), (0, 0), (0, 0))
+        xs = jnp.pad(xs, rpad, mode="edge")
+        ys = jnp.pad(ys, rpad, mode="edge")
 
-    x = jnp.arange(wp, dtype=jnp.float32)[None, None, :]       # (1, 1, Wp)
-    # pad rows replicate row h-1 (the kernel discards their output; the
-    # plan just needs in-range windows for them)
-    y = jnp.minimum(jnp.arange(hpad, dtype=jnp.float32),
-                    h - 1.0)[None, :, None]                    # (1, Hp, 1)
-    lane_bad = (jnp.arange(wp) >= w)[None, None, :]
-    big = jnp.float32(1e9)
-
-    bands, xstarts, cov_y, cov_x = [], [], [], []
-    for s in range(n_src):
-        m = [mats[s, j] for j in range(12)]
-        dep = hypos_p                                          # bcast (D,Hp,Wp)
-        zi = 1.0 / ((m[8] * x + (m[9] * y + m[10])) * dep + m[11])
-        xs = ((m[0] * x + (m[1] * y + m[2])) * dep + m[3]) * zi - 0.5
-        ys = ((m[4] * x + (m[5] * y + m[6])) * dep + m[7]) * zi - 0.5
-        xs = jnp.where(lane_bad, -2.0, xs)
-        ys = jnp.where(lane_bad, -2.0, ys)
-
-        # y-band per (plane, row): kb rows starting at floor(min valid y)
-        vy = (ys > -1.0) & (ys < h) & jnp.isfinite(ys)
-        ymin = jnp.min(jnp.where(vy, ys, big), axis=-1)        # (D, Hp)
-        ymax = jnp.max(jnp.where(vy, ys, -big), axis=-1)
-        anyy = jnp.any(vy, axis=-1)
-        band = jnp.clip(jnp.floor(ymin), 0.0,
-                        max(h - kb, 0)).astype(jnp.int32)
-        band = jnp.where(anyy, band, 0)
-        # needed rows are floor(y) >= 0 and floor(y)+1 <= h-1 (out-of-image
-        # taps contribute zero under grid_sample zeros padding)
-        hi = jnp.minimum(jnp.floor(ymax) + 1.0, h - 1.0)
-        cov_y.append(jnp.all(jnp.where(
-            anyy, hi <= band.astype(jnp.float32) + kb - 1, True)))
-        bands.append(band.T)                                   # (Hp, D)
-
-        # x source-window per (plane, row, out-block): 128-aligned start
-        xsb = xs.reshape(nd, hpad, nb, 128)
-        vx = (xsb > -1.0) & (xsb < w)
-        xmin = jnp.min(jnp.where(vx, xsb, big), axis=-1)       # (D, Hp, NB)
-        xmax = jnp.max(jnp.where(vx, xsb, -big), axis=-1)
-        anyx = jnp.any(vx, axis=-1)
-        start = jnp.floor(jnp.maximum(xmin, 0.0) / 128.0).astype(jnp.int32)
-        start = jnp.clip(jnp.where(anyx, start, 0), 0, max(nb - 2, 0))
-        hi_tap = jnp.minimum(jnp.floor(xmax) + 1.0, w - 1.0)
-        cov_x.append(jnp.all(jnp.where(
-            anyx, hi_tap <= start.astype(jnp.float32) * 128.0 + 255.0,
-            True)))
-        xstarts.append(jnp.transpose(start, (1, 0, 2)))        # (Hp, D, NB)
-
-    band = jnp.stack(bands)                                    # (S, Hp, D)
-    xblk = jnp.stack(xstarts)                                  # (S, Hp, D, NB)
-    cover_y = jnp.all(jnp.stack(cov_y))
-    cover_x = jnp.all(jnp.stack(cov_x))
+    band, cover_y = _band_starts(ys, h, kb)                 # (S, Hp, D)
+    xblk, cover_x = _x_block_starts(xs, w)                  # (S, Hp, D, NB)
 
     band_blk = band.reshape(n_src, hb_count, r_rows, nd)
     bmin = jnp.min(band_blk, axis=(2, 3))                   # (S, HB)
@@ -347,42 +367,36 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     hpad = hb_count * r_rows
     nb = wp // 128
 
+    wstart, yrel, xblk, cover = _plan(
+        src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime)
+
     # per-view coordinate-reconstruction matrices: rel = src @ ref^-1 with
     # the x/y rows (and translations) pre-scaled by the reference's
     # align-corners composition factor (geometry.reference_grid_coords);
-    # the -0.5 shift happens in-kernel after the divide. The PLAN evaluates
-    # the same expression from the same coefficients, so its DMA windows
-    # hold for exactly the coordinates the kernel rebuilds.
+    # the -0.5 shift happens in-kernel after the divide
     rel = jnp.matmul(src_projs.astype(jnp.float32),
                      jnp.linalg.inv(ref_proj.astype(jnp.float32)))
     cwh = jnp.asarray([w / (w - 1.0), h / (h - 1.0), 1.0],
                       jnp.float32)
-    mats12 = (rel[:, :3, :] * cwh[None, :, None]).reshape(n_src, 12)
-    mats = jnp.pad(mats12, ((0, 0), (0, 116)))              # (S, 128)
+    mats = (rel[:, :3, :] * cwh[None, :, None]).reshape(n_src, 12)
+    mats = jnp.pad(mats, ((0, 0), (0, 116)))                # (S, 128)
 
     px_hyp = hypos.shape[-1] != 1
     if px_hyp:
         # per-pixel hypotheses stream as (Hp, D, Wp) f32 row blocks — the
         # only per-pixel warp input left (8x smaller than the v2 coords).
-        hyp_p = hypos.astype(jnp.float32)
-        if hyp_p.shape[-1] != wp:
-            hyp_p = jnp.pad(hyp_p, ((0, 0), (0, 0),
-                                    (0, wp - hyp_p.shape[-1])), mode="edge")
-        if hyp_p.shape[1] != hpad:
-            hyp_p = jnp.pad(hyp_p, ((0, 0), (0, hpad - hyp_p.shape[1]),
-                                    (0, 0)), mode="edge")
-    else:
-        hyp_p = hypos.astype(jnp.float32)                   # (D, 1, 1)
-
-    wstart, yrel, xblk, cover = _plan(
-        mats12, hyp_p, h, w, wp, kb, r_rows, kprime)
-
-    if px_hyp:
         # Row-major layout: the block's sublane dim is the FULL D axis
         # (always legal for Mosaic) while the r_rows block rides the
         # untiled major axis — r_rows is accumulator-sized (often 4) and
         # must not be forced to a multiple of 8.
-        hyp_a = hyp_p.transpose(1, 0, 2)               # (Hp, D, Wp)
+        hyp_a = hypos.astype(jnp.float32)
+        if hyp_a.shape[-1] != wp:
+            hyp_a = jnp.pad(hyp_a, ((0, 0), (0, 0),
+                                    (0, wp - hyp_a.shape[-1])), mode="edge")
+        if hyp_a.shape[1] != hpad:
+            hyp_a = jnp.pad(hyp_a, ((0, 0), (0, hpad - hyp_a.shape[1]),
+                                    (0, 0)), mode="edge")
+        hyp_a = hyp_a.transpose(1, 0, 2)               # (Hp, D, Wp)
         hyp_spec = pl.BlockSpec((r_rows, nd, wp), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
@@ -470,7 +484,6 @@ def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,
     window, and every out block's in-image x taps fit its 128-aligned
     256-col source window."""
     nd = depth_hypos.shape[0]
-    n_src = src_projs.shape[0]
     wp = -(-w // 128) * 128
     if wp < 256:
         wp = 256
@@ -480,20 +493,6 @@ def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,
     # c is only used for the VMEM budget; assume the smallest (widest R)
     r_rows = _pick_r_rows(nd, 8, wp, h)
     kprime = min(k_win + 2 * r_rows, h)
-    hpad = -(-h // r_rows) * r_rows
-
-    rel = jnp.matmul(src_projs.astype(jnp.float32),
-                     jnp.linalg.inv(ref_proj.astype(jnp.float32)))
-    cwh = jnp.asarray([w / (w - 1.0), h / (h - 1.0), 1.0], jnp.float32)
-    mats12 = (rel[:, :3, :] * cwh[None, :, None]).reshape(n_src, 12)
-
-    hyp_p = hypos.astype(jnp.float32)
-    if hyp_p.shape[-1] != 1:
-        if hyp_p.shape[-1] != wp:
-            hyp_p = jnp.pad(hyp_p, ((0, 0), (0, 0),
-                                    (0, wp - hyp_p.shape[-1])), mode="edge")
-        if hyp_p.shape[1] != hpad:
-            hyp_p = jnp.pad(hyp_p, ((0, 0), (0, hpad - hyp_p.shape[1]),
-                                    (0, 0)), mode="edge")
-    *_, cover = _plan(mats12, hyp_p, h, w, wp, kb, r_rows, kprime)
+    *_, cover = _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows,
+                      kprime)
     return cover

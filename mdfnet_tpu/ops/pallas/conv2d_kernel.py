@@ -17,13 +17,8 @@ Design:
   packs pairs along sublanes, so a uint32 roll shifts bf16 by exact lanes).
   No pre-stacked k-fold HBM tensor. gg = tile/ci taps share one sublane
   slot so small-ci layers pay no per-tap sublane padding.
-- Stride 2 runs on the interleaved input: the conv is evaluated at all
-  stride-1 x positions (taps = lane rolls, rows ride the stride-2 folded
-  weight) and the even columns are selected by a constant 0/1 matmul.
-- Everything routes through ONE kernel, the chain (conv2d_chain_fused):
-  L stride-1 layers (+ optional stride-2 tail) per row strip with
-  intermediates in VMEM and in-kernel zero padding on both axes — a single
-  conv is just a 1-layer chain, so no path host-pads the activation.
+- Stride 2 reads two W-parity streams: tap j = stream (j-p) mod 2 shifted
+  floor((j-p)/2) lanes.
 
 Supported: kernel 1/3/5, stride 1 (kernel 1/3) or 2 (kernel 3/5), torch
 padding (k-1)//2. Eval-only (no autodiff rule).
@@ -34,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -136,6 +132,88 @@ def _conv2d_kernel_unstacked(
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _conv2d_kernel_s2i(
+        x_ref,        # (N, Hp, ci_pad, Wq) ANY/HBM — interleaved input
+        w_ref,        # (R*Co, rows*k*ci_pad) VMEM folded weights (stride 2)
+        scale_ref,    # (1, R*Co) VMEM f32
+        offset_ref,   # (1, R*Co) VMEM f32
+        sel_ref,      # (Wpi, Wpo) VMEM 0/1 even-column selection matrix
+        out_ref,      # (1, R*Co, Wpo) VMEM block
+        slab, taps, sems,  # (2, rows, ci, Wq), (rows, nblk*sub, Wpi)
+        *, r_fold: int, k: int, relu: bool, gg: int, sub: int,
+        wvalid: int = 0):
+    """Stride-2 path on the INTERLEAVED input: the conv is evaluated at all
+    stride-1 x positions (taps = lane rolls, rows at stride 2 via the folded
+    weight) and the even columns are selected by a constant 0/1 matmul on
+    the MXU. The previous design pre-split the input into W-parity streams
+    host-side — a full read+write of the layer input (~300 MB/forward at
+    DTU eval size across the three downsampling convs); the extra MXU
+    columns are far cheaper than that HBM round trip."""
+    n = pl.program_id(0)
+    hb = pl.program_id(1)
+    n_hb = pl.num_programs(1)
+    total = pl.num_programs(0) * n_hb
+    rows = 2 * r_fold + (k - 2)
+    wpi = taps.shape[-1]
+    ci = slab.shape[2]
+    p = (k - 1) // 2
+
+    def dma(slot, nn, hh):
+        return pltpu.make_async_copy(
+            x_ref.at[nn, pl.ds(hh * r_fold * 2, rows)],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    i = n * n_hb + hb
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, n, hb).start()
+
+    @pl.when(i + 1 < total)
+    def _():
+        dma((i + 1) % 2, (i + 1) // n_hb, (i + 1) % n_hb).start()
+
+    dma(i % 2, n, hb).wait()
+    blk = slab[i % 2]  # (rows, ci, Wq); col j holds src col j - 128
+
+    nblk = taps.shape[1] // sub
+    for b in range(nblk):
+        parts = []
+        for t in range(gg):
+            dx = b * gg + t
+            if dx < k:
+                parts.append(_shift_lanes_left(blk, 128 + dx - p)
+                             [..., :wpi])
+            else:
+                parts.append(jnp.zeros((rows, ci, wpi), blk.dtype))
+        block = (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=1))
+        if block.shape[1] < sub:
+            block = jnp.pad(block,
+                            ((0, 0), (0, sub - block.shape[1]), (0, 0)))
+        taps[:, b * sub:(b + 1) * sub, :] = block
+
+    cur = taps[...].reshape(rows * nblk * sub, wpi)
+    acc = jax.lax.dot_general(
+        w_ref[...], cur,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R*Co, Wpi)
+    y = acc * scale_ref[0][:, None] + offset_ref[0][:, None]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    # select even columns: exact (0/1 weights on already-rounded values)
+    y2 = jax.lax.dot_general(
+        y.astype(out_ref.dtype), sel_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (R*Co, Wpo)
+    if 0 < wvalid < y2.shape[-1]:
+        yi = jax.lax.broadcasted_iota(jnp.int32, y2.shape, 1)
+        y2 = y2 * (yi < wvalid).astype(y2.dtype)
+    out_ref[0] = y2.astype(out_ref.dtype)
+
+
 def _fold_rows_grouped(kernel: jnp.ndarray, r_fold: int, k: int,
                        stride: int, gg: int, sub: int,
                        ci_e: int) -> jnp.ndarray:
@@ -187,23 +265,142 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     k = kernel.shape[0]
     co = kernel.shape[-1]
     assert k in (1, 3, 5) and stride in (1, 2)
-    # Both strides route through the chain kernel: one layer IS this conv,
-    # with in-kernel edge padding on both axes — no host-side pad copy of
-    # the activation (XLA profile: the stride-1 pads were ~4 ms/forward at
-    # bench size; the stride-2 interleaved path host-padded ~175 MB per
-    # U-Net downsampling pass). Stride 2 uses the chain's final_stride=2
-    # tail (stride-2 row fold + constant even-column selection matmul).
+    if stride == 1:
+        # the chain kernel with one layer IS this conv, with in-kernel edge
+        # padding — no host-side pad copy of the activation (XLA profile:
+        # those pads were ~4 ms/forward at bench size)
+        align = 4 if x.dtype == jnp.bfloat16 else 8
+        if ci % align:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, align - ci % align), (0, 0)))
+            kernel = jnp.pad(kernel, ((0, 0), (0, 0),
+                                      (0, align - ci % align), (0, 0)))
+        return conv2d_chain_fused(x, [kernel], [scale], [offset], th=th,
+                                  relu_flags=(relu,), valid_w=valid_w,
+                                  keep_wpad=keep_wpad, interpret=interpret)
+    # junk lane-pad columns from keep_wpad producers are zero, which is
+    # exactly grid-conv zero padding — compute on the padded width and let
+    # the 0/1 selection matrix pick the true even columns (no slice copy)
+    if valid_w is not None and valid_w != w:
+        w = valid_w
+    h_out = -(-h // stride)
+    w_out = -(-w // stride)
+    r_fold = th or max(1, min(128 // co, 16, h_out))
+    h_out_pad = -(-h_out // r_fold) * r_fold
+    wp = -(-w_out // 128) * 128
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+
+    # DMA-aligned channel extent (Mosaic requires slab slices aligned to
+    # the chosen sublane tiling, observed >= 4 bf16 / 8 f32)
     align = 4 if x.dtype == jnp.bfloat16 else 8
-    if ci % align:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, align - ci % align), (0, 0)))
-        kernel = jnp.pad(kernel, ((0, 0), (0, 0),
-                                  (0, align - ci % align), (0, 0)))
-    if stride == 2:
-        assert k in (3, 5)
-    return conv2d_chain_fused(x, [kernel], [scale], [offset], th=th,
-                              relu_flags=(relu,), valid_w=valid_w,
-                              keep_wpad=keep_wpad, final_stride=stride,
-                              interpret=interpret)
+    ci_e = -(-ci // align) * align
+    if ci_e != ci:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ci_e - ci), (0, 0)))
+    # per-tap sublane slot: group gg small-ci taps per hardware tile, or
+    # round a large ci up to the tile
+    if ci_e < sub and sub % ci_e == 0:
+        gg = sub // ci_e
+        slot = sub
+    else:
+        gg = 1
+        slot = -(-ci_e // sub) * sub
+    nblk = -(-k // gg)
+
+    if stride == 1:
+        # unstacked path: ONE lane-aligned slab DMA per block; dx taps are
+        # lane rolls in VMEM (no 3-4x pre-stacked HBM tensor)
+        p = (k - 1) // 2
+        rows = r_fold + k - 1
+        wq = wp + 256  # slab col j = src col j - 128; covers w+1 with slack
+        xs = jnp.pad(x, ((0, 0), (p, h_out_pad + k - 1 - h - p), (0, 0),
+                         (128, wq - 128 - w)))
+        wfold = _fold_rows_grouped(kernel.astype(x.dtype), r_fold, k, 1,
+                                   gg, slot, ci_e)
+        scale2 = jnp.tile(scale.reshape(1, co).astype(jnp.float32),
+                          (1, r_fold))
+        offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32),
+                           (1, r_fold))
+        kern = functools.partial(_conv2d_kernel_unstacked, r_fold=r_fold,
+                                 k=k, relu=relu, gg=gg, sub=slot,
+                                 wvalid=w_out if keep_wpad else 0)
+        out = pl.pallas_call(
+            kern,
+            grid=(n, h_out_pad // r_fold),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((r_fold * co, rows * nblk * slot),
+                             lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, r_fold * co, wp),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h_out_pad * co, wp), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, ci_e, wq), x.dtype),
+                pltpu.VMEM((rows, nblk * slot, wp), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xs, wfold, scale2, offset2)
+        out = out.reshape(n, h_out_pad, co, wp)
+        return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
+
+    # stride 2 on the interleaved input: taps are lane rolls (like stride 1),
+    # rows ride the stride-2 folded weight, even columns are selected by a
+    # constant 0/1 matmul — no host-side parity-split round trip
+    import numpy as np
+    p = (k - 1) // 2
+    rows = 2 * r_fold + (k - 2)
+    w_arr = x.shape[-1]
+    wpi = -(-max(w_arr, w) // 128) * 128
+    wq = wpi + 256
+    hp = 2 * h_out_pad + (k - 2)
+    xw = jnp.pad(x, ((0, 0), (p, hp - h - p), (0, 0),
+                     (128, wq - 128 - w_arr)))
+    wfold = _fold_rows_grouped(kernel.astype(x.dtype), r_fold, k, 2, gg, slot,
+                               ci_e)
+    # numpy constant: baked into the executable, not rebuilt per call
+    sel_np = np.zeros((wpi, wp), np.float32)
+    cols = np.arange(w_out)
+    sel_np[2 * cols, cols] = 1.0
+    sel = jnp.asarray(sel_np, x.dtype)
+
+    scale2 = jnp.tile(scale.reshape(1, co).astype(jnp.float32), (1, r_fold))
+    offset2 = jnp.tile(offset.reshape(1, co).astype(jnp.float32), (1, r_fold))
+
+    kern = functools.partial(_conv2d_kernel_s2i, r_fold=r_fold, k=k,
+                             relu=relu, gg=gg, sub=slot,
+                             wvalid=w_out if keep_wpad else 0)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, h_out_pad // r_fold),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((r_fold * co, rows * nblk * slot),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpi, wp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_fold * co, wp),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out_pad * co, wp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, ci_e, wq), x.dtype),
+            pltpu.VMEM((rows, nblk * slot, wpi), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xw, wfold, scale2, offset2, sel)
+    out = out.reshape(n, h_out_pad, co, wp)
+    return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
 
 
 def _layer_geometry(ci_e: int, dtype) -> tuple[int, int]:
@@ -224,14 +421,10 @@ def _chain_rows(layers, r_fold: int, final_stride: int):
         rows_out = [base + 2 * sum(pads[j + 1:-1]) for j in range(nlayers)]
         rows_out[-1] = r_fold
         adv = 2 * r_fold
-        # single s2 layer: the strip input feeds the stride-2 conv directly
-        # (2*r_fold + k - 2 rows), not a stride-1 layer's r+k-1 window
-        rows_in = (base if nlayers == 1
-                   else rows_out[0] + 2 * pads[0])
     else:
         rows_out = [r_fold + 2 * sum(pads[j + 1:]) for j in range(nlayers)]
         adv = r_fold
-        rows_in = rows_out[0] + 2 * pads[0]
+    rows_in = rows_out[0] + 2 * pads[0]
     # left context: input rows above the strip's first advanced row
     # (stride-2 tail: out row r reads input rows 2r+dy-p_last, so the same
     # sum-of-pads applies with the doubled advance)
