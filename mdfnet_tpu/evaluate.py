@@ -95,21 +95,13 @@ def run_eval(model, variables, dataset, output_dir: str,
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
 
-    # the Pallas eval path takes images in the device layout (B, V, H, 3, W)
-    # directly — formatting happens here on the host, not as a full-res
-    # device transpose (core.py detects the layout by the last dim)
-    hcw = spatial == 1 and getattr(model, "pallas_conv", False)
-
     fallback_step = None
     n_views = 0
     device_time = 0.0
     wall_start = None
     for i, batch in enumerate(loader):
-        imgs_np = batch["imgs"]
-        if hcw:
-            imgs_np = np.ascontiguousarray(np.swapaxes(imgs_np, -1, -2))
         start = time.perf_counter()
-        args = (jnp.asarray(imgs_np),
+        args = (jnp.asarray(batch["imgs"]),
                 jnp.asarray(batch["extrinsics"]),
                 jnp.asarray(batch["intrinsics"]),
                 jnp.asarray(batch["depth_range"]))

@@ -140,7 +140,7 @@ class VectorAggregate(nn.Module):
     def __call__(self, features, ref_proj, src_projs, depth_hypos,
                  train: bool = False, pair_diffs=None,
                  with_cover: bool = False, valid_w: int | None = None,
-                 keep_wpad: bool = False, out_layout: str = "dhcw"):
+                 keep_wpad: bool = False):
         """
         Args:
             features: list of (B, H, W, C) per-view features, ref first.
@@ -194,18 +194,15 @@ class VectorAggregate(nn.Module):
             outs, covers = zip(*[
                 rowsweep_aggregate(diffs[bi], q[bi], src_projs[bi],
                                    ref_proj[bi], depth_hypos[bi],
-                                   k0, bn_s, bn_o, k1, b1, valid_w=vw,
-                                   out_layout=out_layout)
+                                   k0, bn_s, bn_o, k1, b1, valid_w=vw)
                 for bi in range(b)])
-            vol = jnp.stack(outs)  # (B, D, H, G, Wp) | (B, H, D, G, Wp)
+            vol = jnp.stack(outs)  # (B, D, H, G, Wp)
             if not keep_wpad:
                 vol = vol[..., :vw]
             if with_cover:
                 return vol, jnp.all(jnp.stack(covers))
             return vol
 
-        assert out_layout == "dhcw", \
-            "out_layout='hdcw' applies to the fused rowsweep path only"
         b, h, w, c = ref_feat.shape
         cg = c // g
         covers = []  # dense-path exactness flags (gather/pallas: exact/unchecked)

@@ -61,11 +61,10 @@ class FPN4Scales(nn.Module):
     emit_diffs: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, hcw_in: bool = False):
+    def __call__(self, x, train: bool = False):
         c0, c1, c2, c3 = self.out_chs
         if self.pallas_eval and not train:
-            return self._hcw_path(x, hcw_in)
-        assert not hcw_in, "(N, H, C, W) input requires the pallas eval path"
+            return self._hcw_path(x)
 
         # bottom-up
         x = ConvBNReLU(c0, 3, 1, dtype=self.dtype, name="conv01_0")(x, train)
@@ -147,7 +146,7 @@ class FPN4Scales(nn.Module):
                                   keep_wpad=keep_wpad,
                                   final_stride=final_stride)
 
-    def _hcw_path(self, x, hcw_in: bool = False):
+    def _hcw_path(self, x):
         c0, c1, c2, c3 = self.out_chs
         dtype = self.dtype or x.dtype
         # channels + lanes padded to the DMA-aligned extents ONCE on the
@@ -155,22 +154,12 @@ class FPN4Scales(nn.Module):
         # fused kernels at its 128-aligned lane width (keep_wpad) with the
         # true width tracked as valid_w — no per-layer host pad copies
         align = 4 if dtype == jnp.bfloat16 else 8
-        if hcw_in:
-            # images arrive (N, H, C, W) — the data pipeline / bench feed
-            # the device layout directly, so the full-res image transpose
-            # never runs on device (it was ~230 MB of f32 traffic/forward)
-            logical_ci = x.shape[2]
-            w0 = x.shape[3]
-            v = x.astype(dtype)
-        else:
-            logical_ci = x.shape[3]
-            w0 = x.shape[2]
-            # cast before transposing: the relayout copy moves bf16, not f32
-            v = jnp.transpose(x.astype(dtype), (0, 1, 3, 2))
+        w0 = x.shape[2]
         w1 = -(-w0 // 2)
         w2 = -(-w1 // 2)
         w3 = -(-w2 // 2)
         wps = {w: -(-w // 128) * 128 for w in (w0, w1, w2, w3)}
+        v = jnp.transpose(x, (0, 1, 3, 2)).astype(dtype)
         v = jnp.pad(v, ((0, 0), (0, 0), (0, align - v.shape[2]),
                         (0, wps[w0] - w0)))
 
@@ -184,7 +173,7 @@ class FPN4Scales(nn.Module):
         # in the whole forward) never reaches HBM
         v = self._chain([("conv01_0", c0, 3), ("conv01_1", c0, 3),
                          ("conv12_0", c1, 5)], v,
-                        logical_ci=logical_ci, valid_w=w0, keep_wpad=True,
+                        logical_ci=x.shape[3], valid_w=w0, keep_wpad=True,
                         final_stride=2)
         x2 = self._chain([("conv12_1", c1, 3), ("conv12_2", c1, 3)], v,
                          valid_w=w1, keep_wpad=True)

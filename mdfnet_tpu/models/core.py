@@ -19,8 +19,7 @@ from mdfnet_tpu import geometry
 from mdfnet_tpu.models.aggregate import VectorAggregate
 from mdfnet_tpu.models.backbone import FPN4Scales
 from mdfnet_tpu.models.refine import RefineNet2
-from mdfnet_tpu.models.regularize import (RegularNet3Scales,
-                                          RegularNet4Scales, fold2d_eligible)
+from mdfnet_tpu.models.regularize import RegularNet3Scales, RegularNet4Scales
 from mdfnet_tpu.ops.fitting import refined_hypotheses, uniform_hypotheses
 from mdfnet_tpu.ops.regress import confidence_regression, depth_regression
 from mdfnet_tpu.ops.sample import resize_nearest_2x
@@ -60,11 +59,7 @@ class CoreNet(nn.Module):
                  train: bool = False):
         """
         Args:
-            imgs: (B, V, H, W, 3) float images, view 0 = reference. The
-                Pallas eval path also accepts (B, V, H, 3, W) — detected by
-                the last dim not being 3 — so the data pipeline can deliver
-                the device layout directly and the full-res image transpose
-                never runs on device.
+            imgs: (B, V, H, W, 3) float images, view 0 = reference.
             extrinsics: (B, V, 4, 4); intrinsics: (B, V, 3, 3).
             depth_range: (B, 2) [min, max].
         Returns:
@@ -72,11 +67,6 @@ class CoreNet(nn.Module):
             eval:  {"depth": (B, H, W), "confidence": (B, H, W)}
         """
         nstages = len(self.ndepths)
-        imgs_hcw = imgs.shape[-1] != 3
-        if imgs_hcw:
-            assert imgs.shape[-2] == 3, f"bad image shape {imgs.shape}"
-            assert not train and self.pallas_conv, \
-                "(B, V, H, 3, W) images require the Pallas eval path"
         # Under remat (training), the per-stage blocks are wrapped with
         # nn.remat: the backward pass recomputes the warp/cost-volume/U-Net
         # intermediates instead of storing them. Lifted transforms keep the
@@ -127,7 +117,7 @@ class CoreNet(nn.Module):
             # dim (5x the per-conv batch beats five small conv chains on the
             # MXU); running-stat BN makes this exactly equivalent
             stacked = imgs.reshape((b * nviews,) + imgs.shape[2:])
-            fs = backbone(stacked, train, imgs_hcw)  # (y4, y3, y2), (B*V, ...)
+            fs = backbone(stacked, train)  # (y4, y3, y2) each (B*V, ...)
             fused = self.warp_impl == "fused"
             if self.pallas_conv and not fused:
                 # Pallas backbone returns (N, H, C, W); the non-fused
@@ -159,7 +149,7 @@ class CoreNet(nn.Module):
         prob_volume = None
         depths = []
         covers = []
-        w2 = -(-(imgs.shape[4] if imgs_hcw else imgs.shape[3]) // 2)
+        w2 = -(-imgs.shape[3] // 2)
         w4 = -(-w2 // 2)
         w8 = -(-w4 // 2)
         stage_w = [w8, w4, w2]
@@ -188,7 +178,6 @@ class CoreNet(nn.Module):
                 if fused and not self.pallas_conv:
                     # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
                     diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
-            hd = False
             if train:
                 cost_volume = aggregates[stage](stage_feats, ref_proj,
                                                 src_projs, depth_hypos,
@@ -198,35 +187,25 @@ class CoreNet(nn.Module):
                 # 128-aligned lane extent (junk columns zeroed) end to end —
                 # no host-side pad/slice copies between kernels
                 vw = stage_w[stage] if (fused and self.pallas_conv) else None
-                # depth-folded stages take the volume in (B, H, D, G, W):
-                # the aggregate kernel writes that layout for free and the
-                # folded U-Net consumes it reshape-free (no full-volume
-                # transpose between them)
-                hd = (fused and self.pallas_conv and stage > 0
-                      and fold2d_eligible(self.ndepths[stage], 8))
                 cost_volume, cover = aggregates[stage](
                     stage_feats, ref_proj, src_projs, depth_hypos, train,
-                    diffs, True, vw, fused and self.pallas_conv,
-                    out_layout="hdcw" if hd else "dhcw")
+                    diffs, True, vw, fused and self.pallas_conv)
                 covers.append(cover)
             # fused aggregation emits (B, D, h, g, w) — with the Pallas
             # U-Nets it runs layout-through with zero transposes; without,
             # convert back to channels-last
             if fused and not self.pallas_conv:
                 cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
-            reg_layout = (fused and self.pallas_conv)
-            if not train and reg_layout and hd:
-                reg_layout = "hdcw"
             prob_volume = regulars[stage](
-                cost_volume, train, reg_layout,
+                cost_volume, train, fused and self.pallas_conv,
                 None if train else vw)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)
 
         # the fused pipeline hands refine a padded-lane depth whose junk
         # columns hold softmax mass — tell it the true stage-2 width
-        refine_vw = (stage_w[2] if (not train and self.pallas_conv)
-                     else None)
+        refine_vw = (stage_w[2] if (not train and self.warp_impl == "fused"
+                                    and self.pallas_conv) else None)
         depth = refine(depth, depth_range, train, refine_vw)
         depths.append(depth)
 

@@ -251,15 +251,6 @@ class RegularNet3Scales(nn.Module):
         return nn.softmax(out, axis=1)
 
 
-def fold2d_eligible(d: int, base_chs: int) -> bool:
-    """True iff RegularNet4Scales runs the depth-folded conv2d path for a
-    D-deep volume: every level folds to the same channel count (64 for the
-    flagship stage 2, 192 for stage 1) — see _fold2d_path. Callers use this
-    to pick the aggregate's output layout (hdcw feeds the folded net with
-    zero transposes)."""
-    return d % 8 == 0 and d * base_chs in (64, 192)
-
-
 class RegularNet4Scales(nn.Module):
     """Stage-1/2 regulariser. Twin of reference net/unit/regular.py:72-133.
 
@@ -277,11 +268,7 @@ class RegularNet4Scales(nn.Module):
         c0, c1, c2, c3 = (self.base_chs, self.base_chs * 2,
                           self.base_chs * 4, self.base_chs * 8)
         if dhcw:
-            # dhcw may be the string "hdcw": input arrives (B, H, D, C, W)
-            # straight from rowsweep_aggregate(out_layout="hdcw") and feeds
-            # the depth-folded conv2d net with zero transposes
-            return self._dhcw_path(x, c0, c1, c2, c3, valid_w,
-                                   hdcw=(dhcw == "hdcw"))
+            return self._dhcw_path(x, c0, c1, c2, c3, valid_w)
         _, d, h, w, _ = x.shape
         assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
         assert tuple(self.sample_stride) == (2, 2, 2), \
@@ -320,26 +307,20 @@ class RegularNet4Scales(nn.Module):
         out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
         return nn.softmax(out, axis=1)
 
-    def _dhcw_path(self, x, c0, c1, c2, c3, valid_w=None, hdcw=False):
+    def _dhcw_path(self, x, c0, c1, c2, c3, valid_w=None):
         """Eval: the whole net in the Pallas (B, D, H, C, W) layout, every
-        level flowing 128-aligned lane extents (see RegularNet3Scales).
-        With ``hdcw`` the input arrives (B, H, D, C, W) — only legal when
-        the fold2d path runs (it consumes that layout reshape-free)."""
+        level flowing 128-aligned lane extents (see RegularNet3Scales)."""
         assert self.pallas_eval, "dhcw layout requires pallas_eval"
-        if hdcw:
-            _, h, d, _, w_in = x.shape
-        else:
-            _, d, h, _, w_in = x.shape
+        _, d, h, _, w_in = x.shape
         vw = valid_w or w_in
         assert h % 8 == 0 and vw % 8 == 0, \
             f"volume H,W must divide 8, got {(h, vw)}"
         assert tuple(self.sample_stride) == (2, 2, 2)
-        if fold2d_eligible(d, c0):
+        if d % 8 == 0 and d * c0 in (64, 192):
             # small-D net: every level folds to the same channel count
             # (64 for stage 2, 192 for stage 1) — run the whole U-Net as
             # 11 conv2d launches (ops/fold2d.py)
-            return self._fold2d_path(x, c0, c1, c2, c3, vw, hdcw)
-        assert not hdcw, "hdcw input requires the fold2d-eligible topology"
+            return self._fold2d_path(x, c0, c1, c2, c3, vw)
         w1, w2, w3 = vw // 2, vw // 4, vw // 8
         wp = lambda ww: -(-ww // 128) * 128
         dt = self.dtype
@@ -367,29 +348,22 @@ class RegularNet4Scales(nn.Module):
         out = ProbConv(dtype=dt, name="prob")(v, dhcw=True, valid_w=vw)
         return nn.softmax(out, axis=1)
 
-    def _fold2d_path(self, x, c0, c1, c2, c3, vw, hdcw=False):
-        """Eval, D*c0 in (64, 192): the depth axis folded into channels —
-        the whole net runs as stride-1/2 conv2d_fused launches on
-        (B, H, D*C, W) with the exactly-equivalent block-banded weights
-        (ops/fold2d.py). The transposed convs emit 2x2 spatial phase groups
-        interleaved back on the fine grid; parameters keep their conv3d
-        shapes/paths. ``hdcw`` input (B, H, D, C, W) folds with a free
-        reshape — the aggregate kernel emits it directly (out_layout=
-        "hdcw"), killing a full-volume (D,H)->(H,D) transpose."""
+    def _fold2d_path(self, x, c0, c1, c2, c3, vw):
+        """Eval, D*c0 == 64: the depth axis folded into channels — the whole
+        net runs as stride-1/2 conv2d_fused launches on (B, H, D*C, W) with
+        the exactly-equivalent block-banded weights (ops/fold2d.py). The
+        transposed convs emit 2x2 spatial phase groups interleaved back on
+        the fine grid; parameters keep their conv3d shapes/paths."""
         from mdfnet_tpu.models.layers import (_ConvBNParams, _ConvKernelParam)
         from mdfnet_tpu.ops import fold2d
         from mdfnet_tpu.ops.pallas import conv2d_kernel
 
-        if hdcw:
-            b, h, d, cin, w_in = x.shape
-            xf = x.reshape(b, h, d * cin, w_in)
-        else:
-            b, d, h, cin, w_in = x.shape
-            xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(b, h, d * cin,
-                                                           w_in)
+        b, d, h, cin, w_in = x.shape
         d1, d2, d3 = d // 2, d // 4, d // 8
         w1, w2, w3 = vw // 2, vw // 4, vw // 8
         dt = self.dtype or x.dtype
+
+        xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(b, h, d * cin, w_in)
         xf = xf.astype(dt)
 
         def conv(name, ci, co, din, sd, inp, vwl):

@@ -19,25 +19,13 @@ v2 design (round 3):
   all D planes; in-kernel zero padding (no host-side jnp.pad copies of the
   src features).
 - x-interpolation as a banded 256-col tent matmul per 128-col output block
-  at a 128-aligned prefetched offset (unchanged from v1).
+  at a 128-aligned prefetched offset (unchanged from v1), with the block
+  offset pre-subtracted from the streamed x coordinates (one fewer VPU op
+  per tent build).
 - The aggregation epilogue (sigmoid similarity, DepthWeight scalar field,
   weighted accumulation — homoaggregate.py:16-46) runs in-registers; the
   (D, H, C, W) volume is written once, in the layout the Pallas U-Net
   consumes.
-
-v3 (round 3): IN-KERNEL COORDINATE RECONSTRUCTION. The sample coordinates
-are projective functions of (x, y, depth) — 12 scalars per src view
-(rel = src_proj @ ref_proj^-1, x/y rows pre-scaled by the reference's
-align-corners composition factor). v2 streamed them as precomputed
-(2, S, D, Hp, Wp) f32 arrays: ~0.2-0.5 GB of HBM per stage at DTU eval
-size, plus the XLA transpose/stack copies to lay them out per row-block
-and a 3+ MB VMEM scratch. v3 rebuilds each row's coordinates on the VPU
-(3 FMAs + 1 divide per plane on resident registers) from the per-view
-matrices and the depth-hypothesis row — the only per-pixel input left is
-the (D, H, W) hypothesis map itself (8x smaller than the coords, absent
-entirely for stage 0's (D, 1, 1) scalar hypotheses). The host still
-evaluates the same coordinates once, fused into the tiny min/max
-reductions that plan the DMA windows (yrel/xblk/wstart prefetch arrays).
 
 Border semantics match grid_sample zeros-padding exactly in x (zero-padded
 lanes + zero tent weight outside the image). In y they match provided each
@@ -63,16 +51,14 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                      yrel_ref,          # scalar prefetch (HB, S*R*D) i32
                      xblk_ref,          # scalar prefetch (HB, S*R*D*NB) i32
                      q_ref,             # (R, C, Wp) block @ row-block
+                     coords_ref,        # (2, S, D, Hp, Wp) ANY/HBM: xrel, ys
                      k0_ref,            # (1, C) f32
                      sc_ref,            # (1, 128) f32 [bn_s, bn_o, k1, b1]
-                     mats_ref,          # (S, 128) f32 rel-matrix coefficients
-                     hyp_ref,           # (R, D, Wp) block | (1, Dp) scalars
-                     diffs_ref,         # (S, H, C, Wp) ANY/HBM
+                     diffs_ref,         # (S, H, C, W) ANY/HBM — unpadded
                      out_ref,           # (D, R, C, Wp) block @ row-block
-                     window, vol, wsum, blend_buf, sems,
+                     window, cs, vol, wsum, blend_buf, sems, csems,
                      *, n_src: int, kprime: int, nd: int, kb: int,
-                     r_rows: int, nb: int, px_hyp: bool, wvalid: int = 0,
-                     hd_major: bool = False):
+                     r_rows: int, nb: int, wvalid: int = 0):
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
     wp = blend_buf.shape[-1]
@@ -86,8 +72,19 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
             sems.at[slot, s],
         )
 
+    def cdma(hh):
+        # single-buffered coord fetch (the HBM array is pre-grouped by
+        # row-block so ONE leading-axis DMA per step fetches every source's
+        # planes); started AFTER the previous step's last read of cs
+        return pltpu.make_async_copy(
+            coords_ref.at[hh],
+            cs,
+            csems,
+        )
+
     @pl.when(hb == 0)
     def _():
+        cdma(0).start()
         for s in range(n_src):
             dma(0, 0, s).start()
 
@@ -96,6 +93,8 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
         for s in range(n_src):
             dma((hb + 1) % 2, hb + 1, s).start()
 
+    cdma(hb).wait()
+
     vol[...] = jnp.zeros_like(vol)
     wsum[...] = jnp.zeros_like(wsum)
 
@@ -103,10 +102,6 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
         .astype(jnp.float32)
     biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
         .astype(jnp.float32)
-    # pixel-x grid / lane mask for the in-kernel coordinate reconstruction
-    xiota = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) \
-        .astype(jnp.float32)
-    lane_pad = (xiota >= wvalid) if 0 < wvalid < wp else None
     k0 = k0_ref[0]                                # (C,) f32
     bn_s = sc_ref[0, 0]
     bn_o = sc_ref[0, 1]
@@ -116,36 +111,16 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
     for s in range(n_src):
         dma(hb % 2, hb, s).wait()
         w0 = wstart_ref[hb, s].astype(jnp.float32)
-        m = [mats_ref[s, j] for j in range(12)]
         for r in range(r_rows):
             q = q_ref[r].astype(jnp.float32)      # (C, Wp)
-            # row coefficients: rel @ [x, y, 1] per lane (y is this row's
-            # global grid row; x/y matrix rows arrive pre-scaled by the
-            # reference's align-corners composition factor, geometry.py:115)
-            yg = (hb * r_rows + r).astype(jnp.float32)
-            gu = m[0] * xiota + (m[1] * yg + m[2])       # (1, Wp)
-            gv = m[4] * xiota + (m[5] * yg + m[6])
-            gz = m[8] * xiota + (m[9] * yg + m[10])
 
-            def dbody(d, _, s=s, r=r, q=q, w0=w0, gu=gu, gv=gv, gz=gz):
-                if px_hyp:
-                    dep = hyp_ref[r, d][None, :]         # (1, Wp) f32
-                else:
-                    dep = hyp_ref[0, d]                  # scalar f32
-                z = gz * dep + m[11]
-                zi = 1.0 / z
-                xsd = (gu * dep + m[3]) * zi - 0.5       # (1, Wp)
-                ysd = (gv * dep + m[7]) * zi - 0.5
-                if lane_pad is not None:
-                    # match the host plan's pad-lane fill (-2: zero tent
-                    # weight; also keeps z~0 NaN/Inf out of the tents)
-                    xsd = jnp.where(lane_pad, -2.0, xsd)
-                    ysd = jnp.where(lane_pad, -2.0, ysd)
+            def dbody(d, _, s=s, r=r, q=q, w0=w0):
                 rel = yrel_ref[hb, (s * r_rows + r) * nd + d]
                 band = window[hb % 2, s, pl.ds(rel, kb)]   # (kb, C, W~)
+                ysd = cs[1, s, d, r]                       # (Wp,) f32
                 y0 = w0 + rel.astype(jnp.float32)
                 ky = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(ysd - (kiota + y0)))
+                    0.0, 1.0 - jnp.abs(ysd[None, :] - (kiota + y0)))
                 blend_buf[...] = jnp.sum(
                     band.astype(jnp.float32) * ky[:, None, :], axis=0)
                 cols = []
@@ -154,8 +129,7 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                         hb, ((s * r_rows + r) * nd + d) * nb + b] * 128
                     startm = pl.multiple_of(start, 128)
                     src_win = blend_buf[:, pl.ds(startm, 256)]  # (C, 256)
-                    xb = (xsd[0, b * 128:(b + 1) * 128]
-                          - start.astype(jnp.float32))
+                    xb = cs[0, s, d, r, b * 128:(b + 1) * 128]
                     kx = jnp.maximum(0.0, 1.0 - jnp.abs(xb[None, :] - biota))
                     cols.append(jax.lax.dot_general(
                         src_win.astype(jnp.bfloat16), kx.astype(jnp.bfloat16),
@@ -167,12 +141,8 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                 sfield = jnp.sum(sim * k0[:, None], axis=0)   # (Wp,)
                 act = jnp.maximum(sfield * bn_s + bn_o, 0.0)
                 wgt = jax.nn.sigmoid(act * k1 + b1)           # (Wp,)
-                if hd_major:
-                    vol[r, d] = vol[r, d] + sim * wgt[None, :]
-                    wsum[r, d] = wsum[r, d] + wgt
-                else:
-                    vol[d, r] = vol[d, r] + sim * wgt[None, :]
-                    wsum[d, r] = wsum[d, r] + wgt
+                vol[d, r] = vol[d, r] + sim * wgt[None, :]
+                wsum[d, r] = wsum[d, r] + wgt
                 return 0
 
             # fully unrolled: Mosaic software-pipelines consecutive planes
@@ -180,6 +150,10 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
             # serialises them (and Pallas only lowers full unrolls anyway)
             for d in range(nd):
                 dbody(d, 0)
+
+    @pl.when(hb + 1 < nhb)
+    def _():
+        cdma(hb + 1).start()
 
     res = vol[...] / wsum[...][:, :, None, :]
     if 0 < wvalid < wp:
@@ -261,14 +235,10 @@ def _x_block_starts(xs, w):
 
 
 def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
-    """DMA-window prefetch arrays + the coverage flag for the kernel.
+    """All prefetch arrays + the coverage flag for the v2 kernel.
 
-    Returns (wstart, yrel, xblk_flat, cover); row axes are padded
-    (edge-replicated) to ceil(h / r_rows) * r_rows. The full coordinate
-    arrays exist here only as inputs to min/max reductions — XLA fuses the
-    coordinate math into the reduces, so nothing (Hp, Wp)-sized per plane
-    has to round-trip HBM; the kernel rebuilds the exact same coordinates
-    in-registers from the per-view matrices.
+    Returns (xs, ys, xrel, wstart, yrel, xblk_flat, cover); row axes are
+    padded (edge-replicated) to ceil(h / r_rows) * r_rows.
     """
     xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
     nd = hypos.shape[0]
@@ -295,33 +265,34 @@ def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
     yrel = jnp.transpose(yrel, (1, 0, 2, 3)).reshape(hb_count, -1)
     wstart = jnp.transpose(wstart)                          # (HB, S)
 
+    # pre-subtract each block's 128-aligned window offset from the x coords
+    # (one fewer VPU op per in-kernel tent build)
+    offs = jnp.broadcast_to((xblk.astype(jnp.float32) * 128.0)[..., None],
+                            xblk.shape + (128,))
+    xrel = xs - offs.reshape(xblk.shape[:3] + (nb * 128,))
     # rows regrouped into (HB, S, R, D, NB) kernel order
     xblk_flat = jnp.transpose(
         xblk.reshape(n_src, hb_count, r_rows, nd, nb), (1, 0, 2, 3, 4)) \
         .reshape(hb_count, -1)                              # (HB, S*R*D*NB)
 
     cover = cover_y & cover_w & cover_x
-    return wstart, yrel, xblk_flat, cover
+    return xs, ys, xrel, wstart, yrel, xblk_flat, cover
 
 
 def _pick_r_rows(nd: int, c: int, wp: int, h: int) -> int:
-    """Rows per grid step: bounded by an f32 accumulator VMEM budget
-    (default ~3.5 MB; MDFNET_ROWSWEEP_BUDGET overrides for tuning — read at
-    trace time only)."""
-    import os
-    budget = int(float(os.environ.get("MDFNET_ROWSWEEP_BUDGET", 3.5e6)))
+    """Rows per grid step: bounded by a ~3.5 MB f32 accumulator budget."""
     per_row = nd * c * wp * 4
-    return max(1, min(8, budget // per_row, h))
+    return max(1, min(8, int(3.5e6) // per_row, h))
 
 
 @functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
-                                             "interpret", "out_layout"))
+                                             "interpret"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
                        kb: int = 4, valid_w: int | None = None,
-                       interpret: bool = False, out_layout: str = "dhcw"):
+                       interpret: bool = False):
     """Fused warp + aggregate for ONE batch item.
 
     Args:
@@ -334,19 +305,13 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         k1, b1: DepthWeight conv1 scalar weight/bias.
         k_win: base y-window rows per row-block (grows with the block size).
         kb: y-band rows per (row, plane) — the per-plane coverage contract.
-        out_layout: "dhcw" (default) emits (D, H, C, Wp) for the conv3d
-            U-Net; "hdcw" emits (H, D, C, Wp) — reshape-free input to the
-            depth-folded conv2d U-Net (kills its (D,H)->(H,D) transpose of
-            the full volume). Same cost in-kernel: the accumulator scratch
-            is simply laid out in the requested order.
     Returns:
-        (volume, cover): volume (D, H, C, Wp) or (H, D, C, Wp) aggregated
-        cost volume (Wp = W padded to 128; columns beyond W hold the
-        zero-feature similarity, slice before use); cover () bool — True
-        iff the kernel's y-band/window/x-window contracts all held, i.e.
-        the volume is exact. On False, fall back to the dense/gather path.
+        (volume, cover): volume (D, H, C, Wp) aggregated cost volume
+        (Wp = W padded to 128; columns beyond W hold the zero-feature
+        similarity, slice before use); cover () bool — True iff the kernel's
+        y-band/window/x-window contracts all held, i.e. the volume is exact.
+        On False, fall back to the dense/gather path.
     """
-    assert out_layout in ("dhcw", "hdcw"), out_layout
     n_src, h, c, w_in = diffs.shape
     w = valid_w or w_in
     nd = depth_hypos.shape[0]
@@ -367,44 +332,17 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     hpad = hb_count * r_rows
     nb = wp // 128
 
-    wstart, yrel, xblk, cover = _plan(
+    xs, ys, xrel, wstart, yrel, xblk, cover = _plan(
         src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime)
 
-    # per-view coordinate-reconstruction matrices: rel = src @ ref^-1 with
-    # the x/y rows (and translations) pre-scaled by the reference's
-    # align-corners composition factor (geometry.reference_grid_coords);
-    # the -0.5 shift happens in-kernel after the divide
-    rel = jnp.matmul(src_projs.astype(jnp.float32),
-                     jnp.linalg.inv(ref_proj.astype(jnp.float32)))
-    cwh = jnp.asarray([w / (w - 1.0), h / (h - 1.0), 1.0],
-                      jnp.float32)
-    mats = (rel[:, :3, :] * cwh[None, :, None]).reshape(n_src, 12)
-    mats = jnp.pad(mats, ((0, 0), (0, 116)))                # (S, 128)
-
-    px_hyp = hypos.shape[-1] != 1
-    if px_hyp:
-        # per-pixel hypotheses stream as (Hp, D, Wp) f32 row blocks — the
-        # only per-pixel warp input left (8x smaller than the v2 coords).
-        # Row-major layout: the block's sublane dim is the FULL D axis
-        # (always legal for Mosaic) while the r_rows block rides the
-        # untiled major axis — r_rows is accumulator-sized (often 4) and
-        # must not be forced to a multiple of 8.
-        hyp_a = hypos.astype(jnp.float32)
-        if hyp_a.shape[-1] != wp:
-            hyp_a = jnp.pad(hyp_a, ((0, 0), (0, 0),
-                                    (0, wp - hyp_a.shape[-1])), mode="edge")
-        if hyp_a.shape[1] != hpad:
-            hyp_a = jnp.pad(hyp_a, ((0, 0), (0, hpad - hyp_a.shape[1]),
-                                    (0, 0)), mode="edge")
-        hyp_a = hyp_a.transpose(1, 0, 2)               # (Hp, D, Wp)
-        hyp_spec = pl.BlockSpec((r_rows, nd, wp), lambda i, *_: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-    else:
-        ndp = -(-nd // 128) * 128
-        hyp_a = jnp.zeros((1, ndp), jnp.float32) \
-            .at[0, :nd].set(hypos[:, 0, 0].astype(jnp.float32))
-        hyp_spec = pl.BlockSpec((1, ndp), lambda i, *_: (0, 0),
-                                memory_space=pltpu.VMEM)
+    # (S, Hp, D, Wp) -> (HB, 2, S, D, R, Wp): pre-grouped per row-block so
+    # the kernel fetches each step's coords with ONE leading-axis DMA
+    # (HBM DMA slices on tiled dims must be tile-aligned), and plane d is
+    # indexed dynamically in VMEM, which must land on an untiled major axis
+    def blkfmt(a):
+        a = a.reshape(n_src, hb_count, r_rows, nd, wp)
+        return jnp.transpose(a, (1, 0, 3, 2, 4))
+    coords = jnp.stack([blkfmt(xrel), blkfmt(ys)], axis=1)
 
     # lane-pad the src features (HBM DMA extents must be 128-aligned);
     # zero pad == grid_sample zeros semantics for out-of-image x taps.
@@ -420,61 +358,43 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     scalars = scalars.at[0, 0].set(bn_scale).at[0, 1].set(bn_offset)
     scalars = scalars.at[0, 2].set(k1).at[0, 3].set(b1)
 
-    hd_major = out_layout == "hdcw"
     kern = functools.partial(_rowsweep_kernel, n_src=n_src, kprime=kprime,
-                             nd=nd, kb=kb, r_rows=r_rows, nb=nb,
-                             px_hyp=px_hyp, wvalid=w, hd_major=hd_major)
-    if hd_major:
-        acc_shape = (r_rows, nd, c, wp)
-        wsum_shape = (r_rows, nd, wp)
-        out_spec = pl.BlockSpec((r_rows, nd, c, wp),
-                                lambda i, *_: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = (hpad, nd, c, wp)
-    else:
-        acc_shape = (nd, r_rows, c, wp)
-        wsum_shape = (nd, r_rows, wp)
-        out_spec = pl.BlockSpec((nd, r_rows, c, wp),
-                                lambda i, *_: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = (nd, hpad, c, wp)
+                             nd=nd, kb=kb, r_rows=r_rows, nb=nb, wvalid=w)
 
+    # (S, Hp, D, Wp) -> (S, HB*R, D, Wp) blocks stream (S, R, D, Wp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(hb_count,),
         in_specs=[
             pl.BlockSpec((r_rows, c, wp), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, c), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_src, 128), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            hyp_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=out_spec,
+        out_specs=pl.BlockSpec((nd, r_rows, c, wp),
+                               lambda i, *_: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
-            pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.VMEM(wsum_shape, jnp.float32),
+            pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
+            pltpu.VMEM((nd, r_rows, c, wp), jnp.float32),
+            pltpu.VMEM((nd, r_rows, wp), jnp.float32),
             pltpu.VMEM((c, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_src)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, diffs.dtype),
+        out_shape=jax.ShapeDtypeStruct((nd, hpad, c, wp), diffs.dtype),
         interpret=interpret,
-        # the fully-unrolled plane loop software-pipelines hundreds of
-        # bodies; its Mosaic stack outgrows the 16 MB default scoped-vmem
-        # limit at stage-1 shapes (v5e has 128 MB VMEM)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(wstart, yrel, xblk, q_p, k0_2, scalars, mats, hyp_a, diffs)
-    return (out[:h] if hd_major else out[:, :h]), cover
+    )(wstart, yrel, xblk, q_p, coords, k0_2, scalars, diffs)
+    return out[:, :h], cover
 
 
 def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,

@@ -326,7 +326,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             kern,
             grid=(n, h_out_pad // r_fold),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((r_fold * co, rows * nblk * slot),
                              lambda i, j: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
@@ -378,7 +378,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         kern,
         grid=(n, h_out_pad // r_fold),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((r_fold * co, rows * nblk * slot),
                          lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_fold * co), lambda i, j: (0, 0),
@@ -718,13 +718,6 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
     n_hb = -(-h_out // r_fold)
     wp = -(-vw // 128) * 128
     wpo = -(-w_out_t // 128) * 128 if final_stride == 2 else wp
-    if w_in > wp and w_in % 128 == 0:
-        # producer kept a larger 128-aligned lane extent than this chain
-        # needs (e.g. the rowsweep volume's 256-lane minimum at small
-        # sizes); its columns >= valid_w are zeroed, so slicing preserves
-        # the layer-0 zero-pad invariant
-        x = x[..., :wp]
-        w_in = wp
     assert w_in in (vw, wp), (w_in, vw)
     if w_in != wp:
         # unaligned true-width input: one host-side lane pad (aligned DMA)

@@ -104,39 +104,3 @@ def test_rowsweep_broadcast_hypos(rng):
     out_bdhwc = jnp.transpose(out[:, :, :, :w], (0, 1, 3, 2))[None]
     np.testing.assert_allclose(np.asarray(out_bdhwc), np.asarray(ref_vol),
                                atol=2e-3, rtol=2e-2)
-
-
-def test_rowsweep_hdcw_layout(rng):
-    """out_layout='hdcw' is exactly the (D,H)-swap of the default layout."""
-    b, v, h, w, c = 1, 4, 24, 40, 16
-    g = c // 2
-    feats, ref_proj, src_projs = _scene(rng, b, v, h, w, c)
-    hypos = jnp.broadcast_to(
-        jnp.linspace(420.0, 700.0, 8)[None, :, None, None],
-        (b, 8, h, w)).astype(jnp.float32)
-    hypos = hypos + jnp.asarray(rng.rand(b, 8, h, w).astype(np.float32)) * 5.0
-
-    agg = VectorAggregate(g, dtype=jnp.float32, warp_impl="dense")
-    variables = agg.init(jax.random.PRNGKey(0), feats, ref_proj, src_projs,
-                         hypos)
-    diffs = [f[0, :, :, 0::2] - f[0, :, :, 1::2] for f in feats]
-    diffs_hcw = jnp.stack([jnp.transpose(d, (0, 2, 1)) for d in diffs])
-    q = jax.nn.sigmoid(diffs_hcw[0])
-    p = variables["params"]["depth_weight"]
-    st = variables["batch_stats"]["depth_weight"]["bn0"]
-    k0 = p["conv0"]["kernel"][0, 0, 0, :, 0]
-    bn_scale = (p["bn0"]["scale"][0]
-                / np.sqrt(np.asarray(st["var"][0]) + 1e-5))
-    bn_offset = p["bn0"]["bias"][0] - np.asarray(st["mean"][0]) * bn_scale
-    k1 = p["conv1"]["kernel"][0, 0, 0, 0, 0]
-    b1 = p["conv1"]["bias"][0]
-
-    args = (diffs_hcw[1:], q, src_projs[0], ref_proj[0], hypos[0],
-            k0, bn_scale, bn_offset, k1, b1)
-    out_d, cov_d = rowsweep_aggregate(*args, interpret=True)
-    out_h, cov_h = rowsweep_aggregate(*args, interpret=True,
-                                      out_layout="hdcw")
-    assert bool(cov_d) and bool(cov_h)
-    np.testing.assert_array_equal(np.asarray(out_h),
-                                  np.asarray(jnp.transpose(out_d,
-                                                           (1, 0, 2, 3))))

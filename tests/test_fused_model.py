@@ -73,34 +73,10 @@ def _interpret_all_kernels():
     return stack
 
 
-def test_fully_fused_pallas_model_matches_dense():
+def test_fully_fused_pallas_model_matches_dense(rng):
     """The COMPLETE TPU fast path — fused rowsweep + Pallas backbone chains
     + dhcw U-Nets + diff-emitting out-convs (emit_diffs) + keep_wpad lane
-    flow — vs the dense XLA path, in interpret mode.
-
-    Runs in a fresh subprocess: compiling the fully-fused interpret-mode
-    graph after dozens of prior XLA CPU compiles segfaults the XLA CPU
-    compiler in full-suite runs (same pathology as the dryrun test in
-    test_graft_entry.py); standalone the same check is reliably green.
-    """
-    import os
-    import subprocess
-    import sys
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    # script-mode python puts tests/ on sys.path, not the repo root
-    env["PYTHONPATH"] = "/root/repo" + (
-        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-    r = subprocess.run(
-        [sys.executable, __file__],
-        cwd="/root/repo", env=env, capture_output=True,
-        text=True, timeout=3600)
-    assert r.returncode == 0, (r.stdout[-800:] + "\n" + r.stderr[-2000:])
-    assert "FUSED-MODEL-PARITY-OK" in r.stdout
-
-
-def _fully_fused_check():
+    flow — vs the dense XLA path, in interpret mode."""
     scene = make_plane_scene(height=64, width=96, nviews=4,
                              plane_depth=600.0, tilt=0.05)
     batch = make_batch(scene, batch=1)
@@ -124,18 +100,3 @@ def _fully_fused_check():
     np.testing.assert_allclose(np.asarray(out_fast["confidence"]),
                                np.asarray(out_dense["confidence"]),
                                atol=5e-2)
-
-    # (B, V, H, 3, W) device-layout images (what bench/eval feed on TPU)
-    # must produce bit-identical outputs — the transpose moves to the host
-    args_hcw = (jnp.swapaxes(args[0], -1, -2),) + args[1:]
-    with _interpret_all_kernels():
-        out_hcw = m_fast.apply(variables, *args_hcw, train=False)
-    np.testing.assert_array_equal(np.asarray(out_hcw["depth"]),
-                                  np.asarray(out_fast["depth"]))
-    np.testing.assert_array_equal(np.asarray(out_hcw["confidence"]),
-                                  np.asarray(out_fast["confidence"]))
-
-
-if __name__ == "__main__":
-    _fully_fused_check()
-    print("FUSED-MODEL-PARITY-OK")
