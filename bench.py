@@ -38,13 +38,7 @@ def main():
     scene = make_plane_scene(height=height, width=width, nviews=nviews,
                              plane_depth=650.0, tilt=0.05)
     batch = make_batch(scene, batch=1)
-    imgs = batch["imgs"]
-    if platform != "cpu":
-        # deliver the device layout (B, V, H, 3, W): the data pipeline owns
-        # image formatting; the full-res transpose never runs on device
-        import numpy as np
-        imgs = np.ascontiguousarray(np.swapaxes(imgs, -1, -2))
-    args = (jnp.asarray(imgs), jnp.asarray(batch["extrinsics"]),
+    args = (jnp.asarray(batch["imgs"]), jnp.asarray(batch["extrinsics"]),
             jnp.asarray(batch["intrinsics"]), jnp.asarray(batch["depth_range"]))
 
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), *args,
