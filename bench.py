@@ -66,12 +66,15 @@ def main():
         start = time.perf_counter()
         for _ in range(iters):
             out = forward(*args)
-        # fetch (not just block): a flapping tunnel has been observed to
-        # "complete" dispatched executions in ~us without running them —
-        # a device->host copy of the result cannot be faked, and the
-        # finite check catches an errored/garbage buffer
-        depth_host = np.asarray(jax.device_get(out["depth"]))
+        jax.block_until_ready(out)
         elapsed = time.perf_counter() - start
+        # fetch AFTER the timed window (a ~7.6 MB device->host copy through
+        # the tunnel costs ~100-300 ms — measured +26 ms/map when it sat
+        # inside the timing): the copy cannot be faked by a flapping tunnel,
+        # so a finite fetched buffer + a plausible elapsed together prove
+        # the device really executed; an unexecuted dispatch would have
+        # returned from block_until_ready in ~us and trip the assert below
+        depth_host = np.asarray(jax.device_get(out["depth"]))
         assert np.isfinite(depth_host).all(), "non-finite depth from device"
         assert elapsed / iters > 1e-3, (
             f"implausible {elapsed / iters * 1e6:.0f} us/forward: device "
