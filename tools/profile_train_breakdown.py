@@ -25,8 +25,13 @@ def timeit_injit(fn, perturb_arg, *args, reps=REPS):
             aa = list(a)
             aa[perturb_arg] = aa[perturb_arg] + c.astype(aa[perturb_arg].dtype)
             out = fn(*aa)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.float32(1e-30) * leaf.astype(jnp.float32).ravel()[0], ()
+            # keep EVERY output leaf alive: reducing only leaves[0] lets XLA
+            # dead-code-eliminate the rest — for value_and_grad outputs that
+            # silently dropped the whole backward pass from the measurement
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+            return jnp.float32(1e-30) * acc, ()
         y, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return y
 
