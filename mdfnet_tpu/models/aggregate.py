@@ -174,7 +174,7 @@ class VectorAggregate(nn.Module):
             # the fused rowsweep kernel has no autodiff rule; the dense path
             # computes the identical warp with full differentiability.
             # "pallas" is train-safe: homography_warp_pallas carries a
-            # custom VJP (dense tent-matmul transpose) for d(src_feat).
+            # custom VJP (scatter-free splat, ops/splat.py) for d(src_feat).
             impl = "dense"
         if spatial_ctx is not None:
             # spatial sharding: warp sources are all-gathered below and the
@@ -244,7 +244,7 @@ class VectorAggregate(nn.Module):
             # warp every src's diff features in ONE kernel launch (the
             # multi-src kernel has no VJP; training takes the per-src
             # homography_warp_pallas, whose custom VJP backprops through
-            # the dense tent-matmul transpose)
+            # the scatter-free gradient splat, ops/pallas/splat_kernel.py)
             from mdfnet_tpu.ops.pallas.warp_kernel import (
                 homography_warp_pallas_multi)
             diffs = [pair_diffs[v + 1] if pair_diffs is not None

@@ -41,29 +41,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _splat_kernel(bidx_ref, rb0_ref, xs0_ref, ys_ref, x0_ref,  # prefetch
-                  g_ref, x_ref, y_ref,                         # ANY/HBM
+                  g_ref, xy_ref,                               # ANY/HBM
                   out_ref,                                     # (1, C, T)
-                  gwin, xwin, ywin, sems,                      # scratch
+                  gwin, xywin, sems,                           # scratch
                   *, n_planes: int, kb: int, wx: int, tile: int):
     i = pl.program_id(0)   # output tile
     p = pl.program_id(1)   # depth plane (innermost; out block revisited)
     n_i = pl.num_programs(0)
     gl = i * n_planes + p
 
+    # the sliced row dim must stay OUT of the tiled last-two memref dims
+    # (Mosaic requires 8-aligned sublane slicing otherwise): g is
+    # (B, P, R, C, T) and the coords ride one (B, P, R, 2, T) tensor.
+    # rb0/xs0 are FLAT 1-D prefetch arrays indexed tile*P + p — 2-D SMEM
+    # arrays are lane-padded to 128 columns and blow the 1 MB SMEM budget.
     def dma(slot, step_i, step_p):
         b = bidx_ref[step_i]
-        r0 = rb0_ref[step_i, step_p]
-        x0 = pl.multiple_of(xs0_ref[step_i, step_p], 128)
+        r0 = rb0_ref[step_i * n_planes + step_p]
+        x0 = pl.multiple_of(xs0_ref[step_i * n_planes + step_p], 128)
         return (
             pltpu.make_async_copy(
                 g_ref.at[b, step_p, pl.ds(r0, kb), :, pl.ds(x0, wx)],
                 gwin.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(
-                x_ref.at[b, step_p, pl.ds(r0, kb), pl.ds(x0, wx)],
-                xwin.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(
-                y_ref.at[b, step_p, pl.ds(r0, kb), pl.ds(x0, wx)],
-                ywin.at[slot], sems.at[slot, 2]),
+                xy_ref.at[b, step_p, pl.ds(r0, kb), :, pl.ds(x0, wx)],
+                xywin.at[slot], sems.at[slot, 1]),
         )
 
     @pl.when(gl == 0)
@@ -91,8 +93,8 @@ def _splat_kernel(bidx_ref, rb0_ref, xs0_ref, ys_ref, x0_ref,  # prefetch
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (wx, tile), 1) \
         .astype(jnp.float32)
 
-    xw = xwin[slot]                        # (KB, Wx) absolute pixel coords
-    yw = ywin[slot]
+    xw = xywin[slot, :, 0]                 # (KB, Wx) absolute pixel coords
+    yw = xywin[slot, :, 1]
     gw = gwin[slot]                        # (KB, C, Wx)
     a = jnp.maximum(0.0, 1.0 - jnp.abs(yw - ysf))          # (KB, Wx)
     acc = jnp.zeros_like(out_ref[0])
@@ -191,28 +193,28 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     xs0_t = jnp.transpose(xs0_sel, (0, 2, 3, 1))                  # (B,h,NB,P)
 
     n_tiles = bsz * height * nb
-    rb0_flat = rb0_t.reshape(n_tiles, np_).astype(jnp.int32)
-    xs0_flat = xs0_t.reshape(n_tiles, np_).astype(jnp.int32)
+    rb0_flat = rb0_t.reshape(n_tiles * np_).astype(jnp.int32)
+    xs0_flat = xs0_t.reshape(n_tiles * np_).astype(jnp.int32)
     bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), height * nb)
     ys_flat = jnp.tile(jnp.repeat(jnp.arange(height, dtype=jnp.int32), nb),
                        bsz)
     x0_flat = jnp.tile(jnp.arange(nb, dtype=jnp.int32) * tile, bsz * height)
 
     g_t = jnp.transpose(g, (0, 1, 2, 4, 3))                       # (B,P,R,C,T)
+    xy = jnp.stack([x, y], axis=3)                                # (B,P,R,2,T)
 
     kernel = functools.partial(_splat_kernel, n_planes=np_, kb=kb, wx=wx,
                                tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_tiles, np_),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec((1, c, tile), lambda i, p, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, kb, c, wx), g.dtype),
-            pltpu.VMEM((2, kb, wx), jnp.float32),
-            pltpu.VMEM((2, kb, wx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, kb, 2, wx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -220,7 +222,7 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, c, tile), jnp.float32),
         interpret=interpret,
-    )(bidx, rb0_flat, xs0_flat, ys_flat, x0_flat, g_t, x, y)
+    )(bidx, rb0_flat, xs0_flat, ys_flat, x0_flat, g_t, xy)
 
     img = out.reshape(bsz, height, nb, c, tile)
     img = jnp.transpose(img, (0, 1, 2, 4, 3)).reshape(bsz, height,

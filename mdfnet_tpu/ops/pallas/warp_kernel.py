@@ -267,11 +267,11 @@ def homography_warp_pallas(src_feat: jnp.ndarray, src_proj: jnp.ndarray,
                            depth_hypos: jnp.ndarray) -> jnp.ndarray:
     """Drop-in twin of ops.warp.homography_warp on the Pallas path.
 
-    Differentiable: the custom VJP computes d(src_feat) through the dense
-    tent-matmul warp (ops/warp_dense.py — the transpose of a tent-kernel
-    matmul is another tent-kernel matmul), so ``warp_impl="pallas"`` also
-    accelerates the training forward instead of falling back. Coordinates
-    are stop_gradient'ed like the reference's no_grad hypotheses, so
+    Differentiable: the backward rides homography_warp_dense's custom VJP —
+    the scatter-free gradient splat (ops/splat.py, Pallas twin
+    ops/pallas/splat_kernel.py) — so ``warp_impl="pallas"`` also accelerates
+    the training forward instead of falling back. Coordinates are
+    stop_gradient'ed like the reference's no_grad hypotheses, so
     projections/hypotheses carry no gradient.
 
     Returns (B, D, H, W, C)."""
