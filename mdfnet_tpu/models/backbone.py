@@ -61,23 +61,30 @@ class FPN4Scales(nn.Module):
     emit_diffs: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, vgroups: int = 1):
         c0, c1, c2, c3 = self.out_chs
         if self.pallas_eval and not train:
             return self._hcw_path(x)
 
-        # bottom-up
-        x = ConvBNReLU(c0, 3, 1, dtype=self.dtype, name="conv01_0")(x, train)
-        x = ConvBNReLU(c0, 3, 1, dtype=self.dtype, name="conv01_1")(x, train)
-        x = ConvBNReLU(c1, 5, 2, dtype=self.dtype, name="conv12_0")(x, train)
-        x = ConvBNReLU(c1, 3, 1, dtype=self.dtype, name="conv12_1")(x, train)
-        x2 = ConvBNReLU(c1, 3, 1, dtype=self.dtype, name="conv12_2")(x, train)
-        x = ConvBNReLU(c2, 5, 2, dtype=self.dtype, name="conv23_0")(x2, train)
-        x = ConvBNReLU(c2, 3, 1, dtype=self.dtype, name="conv23_1")(x, train)
-        x3 = ConvBNReLU(c2, 3, 1, dtype=self.dtype, name="conv23_2")(x, train)
-        x = ConvBNReLU(c3, 5, 2, dtype=self.dtype, name="conv34_0")(x3, train)
-        x = ConvBNReLU(c3, 3, 1, dtype=self.dtype, name="conv34_1")(x, train)
-        x4 = ConvBNReLU(c3, 3, 1, dtype=self.dtype, name="conv34_2")(x, train)
+        # bottom-up. ``vgroups`` > 1 (train): x stacks that many views
+        # view-major along the batch axis and BatchNorm statistics are
+        # computed per view — exactly equivalent to the reference's per-view
+        # backbone calls (net/core.py:42) but with every conv batched 5x.
+        def cbr(name, feats, ks, stride, inp):
+            return ConvBNReLU(feats, ks, stride, dtype=self.dtype,
+                              name=name)(inp, train, vgroups=vgroups)
+
+        x = cbr("conv01_0", c0, 3, 1, x)
+        x = cbr("conv01_1", c0, 3, 1, x)
+        x = cbr("conv12_0", c1, 5, 2, x)
+        x = cbr("conv12_1", c1, 3, 1, x)
+        x2 = cbr("conv12_2", c1, 3, 1, x)
+        x = cbr("conv23_0", c2, 5, 2, x2)
+        x = cbr("conv23_1", c2, 3, 1, x)
+        x3 = cbr("conv23_2", c2, 3, 1, x)
+        x = cbr("conv34_0", c3, 5, 2, x3)
+        x = cbr("conv34_1", c3, 3, 1, x)
+        x4 = cbr("conv34_2", c3, 3, 1, x)
 
         # top-down (bilinear 2x is a fixed stencil, see ops/sample.py)
         def up2(v):  # NHWC -> upsample H, W

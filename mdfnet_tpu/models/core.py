@@ -72,7 +72,7 @@ class CoreNet(nn.Module):
         # intermediates instead of storing them. Lifted transforms keep the
         # variable tree identical, so checkpoints/.pth import are unaffected.
         use_remat = train and self.remat
-        BackboneCls = (nn.remat(FPN4Scales, static_argnums=(2,))
+        BackboneCls = (nn.remat(FPN4Scales, static_argnums=(2, 3))
                        if use_remat else FPN4Scales)
         AggregateCls = (nn.remat(VectorAggregate, static_argnums=(5, 6))
                         if use_remat else VectorAggregate)
@@ -108,10 +108,17 @@ class CoreNet(nn.Module):
 
         b, nviews = imgs.shape[0], imgs.shape[1]
         if train:
-            # per-view backbone passes: train-mode BatchNorm statistics must
-            # be computed per view-call like the reference's loop
-            # (net/core.py:42), or training normalisation diverges
-            features = [backbone(imgs[:, v], train) for v in range(nviews)]
+            # ONE view-major stacked backbone pass with per-view BatchNorm
+            # statistics (layers.BatchNorm vgroups): numerically identical to
+            # the reference's per-view loop (net/core.py:42) — including the
+            # sequential running-stat EMA — but every conv runs batched 5x
+            vstack = jnp.swapaxes(imgs, 0, 1).reshape(
+                (nviews * b,) + imgs.shape[2:])
+            fs = backbone(vstack, train, nviews)
+            features = [
+                tuple(f.reshape((nviews, b) + f.shape[1:])[v] for f in fs)
+                for v in range(nviews)
+            ]
         else:
             # eval: one backbone pass over all views stacked into the batch
             # dim (5x the per-conv batch beats five small conv chains on the

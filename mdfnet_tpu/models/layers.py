@@ -191,7 +191,7 @@ class BatchNorm(nn.Module):
     fold: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, vgroups: int = 1):
         ch = x.shape[-1] // self.fold
         scale = self.param("scale", nn.initializers.ones, (ch,))
         bias = self.param("bias", nn.initializers.zeros, (ch,))
@@ -201,6 +201,33 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((ch,), jnp.float32))
 
         xf = x.astype(jnp.float32)
+        if train and vgroups > 1:
+            # x stacks `vgroups` independent "calls" along a MAJOR leading
+            # axis (e.g. the view axis of the train backbone): statistics are
+            # computed per group, exactly as `vgroups` sequential calls
+            # would, and the running stats receive the closed form of the
+            # sequential EMA: ra <- (1-m)^V ra + m * sum_v (1-m)^(V-1-v) s_v.
+            assert self.fold == 1 and x.shape[0] % vgroups == 0
+            vb = x.shape[0] // vgroups
+            xs = xf.reshape((vgroups, vb) + xf.shape[1:])
+            axes = tuple(range(1, xs.ndim - 1))
+            mean_v = jnp.mean(xs, axis=axes)                       # (V, ch)
+            var_v = jnp.var(xs, axis=axes)
+            if not self.is_initializing():
+                m = self.momentum
+                n = x.size // (ch * vgroups)
+                unb_v = var_v * (n / max(n - 1, 1))
+                w = m * (1.0 - m) ** jnp.arange(vgroups - 1, -1, -1,
+                                                dtype=jnp.float32)
+                ra_mean.value = ((1.0 - m) ** vgroups * ra_mean.value
+                                 + w @ mean_v)
+                ra_var.value = ((1.0 - m) ** vgroups * ra_var.value
+                                + w @ unb_v)
+            bshape = (vgroups,) + (1,) * (xs.ndim - 2) + (ch,)
+            inv = jax.lax.rsqrt(var_v.reshape(bshape) + self.epsilon)
+            y = ((xs - mean_v.reshape(bshape)) * inv
+                 * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+            return y.reshape(x.shape).astype(x.dtype)
         if train:
             if self.fold > 1:
                 xs = xf.reshape(xf.shape[:-1] + (self.fold, ch))
@@ -248,14 +275,15 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, hcw: bool = False,
-                 valid_w: int | None = None, keep_wpad: bool = False):
+                 valid_w: int | None = None, keep_wpad: bool = False,
+                 vgroups: int = 1):
         if hcw:
             assert not train, "hcw fast path is eval-only"
             return self._hcw_path(x, valid_w, keep_wpad)
         x = ConvND(self.features, (self.kernel_size,) * 2, self.strides,
                    (self.kernel_size - 1) // 2, use_bias=False, dtype=self.dtype,
                    name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+        x = BatchNorm(name="bn")(x, train, vgroups)
         return nn.relu(x)
 
     def _hcw_path(self, x, valid_w=None, keep_wpad=False):

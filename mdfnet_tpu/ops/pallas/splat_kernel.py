@@ -5,22 +5,27 @@ dynamic-slices lower to gathers and the per-tile tent tensors round-trip
 HBM. This kernel runs the identical math with explicit window DMA, mirroring
 ops/pallas/warp_kernel.py with the sampling direction reversed.
 
-Grid = (output tile, depth plane), plane innermost; the output block for a
-tile stays resident in VMEM across its plane steps (Pallas revisiting) and
-accumulates:
+Grid = (output tile, depth plane), plane innermost; an output tile is RB
+consecutive source rows x a 128-col block of ONE batch item, so the MXU
+contraction is (T, Wx) x (RB*C, Wx) — both systolic dims fed (a per-row
+variant starves M at C<=32). The tile's output block stays resident in VMEM
+across its plane steps (Pallas revisiting) and accumulates:
 
   1. DMA the (KB, C, Wx) window of the cotangent g plus the matching
-     (KB, Wx) coordinate windows — corners (row-band start, x-window start)
-     precomputed host-side, riding the scalar-prefetch stream, double-
-     buffered across grid steps;
-  2. on the VPU build the y-tent a = tent(y - ys) and the x-splat tent
-     tx[xw, t] = tent(x[xw] - (x'0 + t));
-  3. contract on the MXU: out[c, t] += (a*g)[k, c, :] @ tx  per band row k.
+     (KB, 2, Wx) coordinate window — corners (row-band start, x-window
+     start) precomputed host-side, riding the scalar-prefetch stream,
+     double-buffered across grid steps. KB covers the rows of one plane
+     touching ALL RB output rows of the tile;
+  2. on the VPU build, per band row k, the RB y-tents
+     a[j] = tent(y_k - (ys0+j)) and the x-splat tent
+     tx[t, xw] = tent(x_k[xw] - (x'0 + t));
+  3. contract on the MXU: acc[t, j*C+c] += tx @ (a*g_k)^T.
 
-An output tile is (batch item, source row ys, 128-col block); every source
-pixel is written exactly once — no scatters, no accumulation hazards. Same
-coverage contract as ops/splat.py (the row band and x window must cover all
-contributing samples; flags computed host-side).
+Every source pixel is written exactly once — no scatters, no accumulation
+hazards. Same coverage contract as ops/splat.py (the row band and x window
+must cover all contributing samples; flags computed host-side): monotone
+plane-sweep coordinates hold it with margin, pathological cameras trip the
+returned flag.
 
 Used as the training backward of the plane-sweep warps via
 ops/warp_dense._planes_sample's custom VJP; exactness vs autodiff of the
@@ -39,13 +44,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+RB = 8  # output rows per tile
+
 
 def _splat_kernel(bidx_ref, rb0_ref, xs0_ref, ys_ref, x0_ref,  # prefetch
                   g_ref, xy_ref,                               # ANY/HBM
-                  out_ref,                                     # (1, C, T)
+                  out_ref,                                     # (1,T,RB*C)
                   gwin, xywin, sems,                           # scratch
                   *, n_planes: int, kb: int, wx: int, tile: int):
-    i = pl.program_id(0)   # output tile
+    i = pl.program_id(0)   # output tile (b, row block, col block)
     p = pl.program_id(1)   # depth plane (innermost; out block revisited)
     n_i = pl.num_programs(0)
     gl = i * n_planes + p
@@ -88,24 +95,29 @@ def _splat_kernel(bidx_ref, rb0_ref, xs0_ref, ys_ref, x0_ref,  # prefetch
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
+    c_dim = gwin.shape[2]
     ysf = ys_ref[i].astype(jnp.float32)
     x0f = x0_ref[i].astype(jnp.float32)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (wx, tile), 1) \
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wx), 0) \
+        .astype(jnp.float32)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, wx), 0) \
         .astype(jnp.float32)
 
-    xw = xywin[slot, :, 0]                 # (KB, Wx) absolute pixel coords
-    yw = xywin[slot, :, 1]
     gw = gwin[slot]                        # (KB, C, Wx)
-    a = jnp.maximum(0.0, 1.0 - jnp.abs(yw - ysf))          # (KB, Wx)
-    acc = jnp.zeros_like(out_ref[0])
+    acc = jnp.zeros_like(out_ref[0])       # (T, RB*C) f32
     for k in range(kb):
-        pk = a[k][None, :] * gw[k].astype(jnp.float32)      # (C, Wx)
+        xk = xywin[slot, k, 0]             # (Wx,) absolute pixel coords
+        yk = xywin[slot, k, 1]
         tx = jnp.maximum(0.0, 1.0 - jnp.abs(
-            (xw[k] - x0f)[:, None] - t_iota))               # (Wx, T)
+            xk[None, :] - x0f - t_iota))                    # (T, Wx)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(
+            yk[None, :] - ysf - j_iota))                    # (RB, Wx)
+        pk = (a[:, None, :] * gw[k][None].astype(jnp.float32)) \
+            .reshape(RB * c_dim, wx)                        # (RB*C, Wx)
         acc = acc + jax.lax.dot_general(
-            pk.astype(gw.dtype), tx.astype(gw.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            tx.astype(gw.dtype), pk.astype(gw.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (T, RB*C)
     out_ref[0] += acc
 
 
@@ -123,11 +135,14 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         g: (B, P, R, T, C) sample cotangents; x, y: (B, P, R, T) sample
             pixel coordinates (P = depth planes).
         height, width: source image extent.
+        band: per-output-row band spread; the DMA'd band covers band+RB-1
+            rows (RB output rows share one window).
     Returns:
         (d_img (B, height, width, C) float32, coverage_ok).
     """
     bsz, np_, r, t, c = g.shape
-    kb = min(band, r)
+    hb = -(-height // RB)           # row blocks (output rows padded to RB)
+    kb = min(band + RB - 1, r)
     tile = min(x_tile, -(-width // 128) * 128)
     nb = -(-width // tile)
     f32 = jnp.float32
@@ -140,13 +155,16 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     y_row_min = jnp.min(jnp.where(valid, y, jnp.inf), axis=-1)   # (B, P, R)
     y_row_max = jnp.max(jnp.where(valid, y, -jnp.inf), axis=-1)
 
-    ys_idx = jnp.arange(height, dtype=f32)
-    rb0 = jnp.sum((y_row_max[..., None] < ys_idx - 1.0).astype(jnp.int32),
-                  axis=2)                                         # (B, P, h)
+    ys0_idx = jnp.arange(hb, dtype=f32) * RB    # block start rows
+    # rows entirely above the block's support: y_max < ys0 - 1
+    rb0 = jnp.sum((y_row_max[..., None] < ys0_idx - 1.0).astype(jnp.int32),
+                  axis=2)                                         # (B, P, hb)
     rb0 = jnp.clip(rb0, 0, r - kb)
 
-    touch = ((y_row_min[..., None] <= ys_idx + 1.0)
-             & (y_row_max[..., None] >= ys_idx - 1.0))
+    # coverage (y): every row touching output rows [ys0, ys0+RB) must lie in
+    # [rb0, rb0+kb)
+    touch = ((y_row_min[..., None] <= ys0_idx + (RB - 1) + 1.0)
+             & (y_row_max[..., None] >= ys0_idx - 1.0))          # (B,P,R,hb)
     r_idx = jnp.arange(r)[:, None]
     inband = ((rb0[:, :, None, :] <= r_idx)
               & (r_idx < rb0[:, :, None, :] + kb))
@@ -183,22 +201,22 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     cover_x = jnp.all(xs_hi_band - xs0 <= wx)
     coverage_ok = jnp.logical_and(cover_y, cover_x)
 
-    # ---- per-tile prefetch streams; tiles packed (b, ys, blk) ----
+    # ---- per-tile prefetch streams; tiles packed (b, row block, blk) ----
     rb0_t = jnp.broadcast_to(jnp.transpose(rb0, (0, 2, 1))[:, :, None, :],
-                             (bsz, height, nb, np_))
+                             (bsz, hb, nb, np_))
     # window corner for a tile = xs0 at the tile's band start row
     xs0_sel = jnp.take_along_axis(
-        xs0, jnp.broadcast_to(rb0[:, :, :, None], (bsz, np_, height, nb)),
-        axis=2)                                                   # (B,P,h,NB)
-    xs0_t = jnp.transpose(xs0_sel, (0, 2, 3, 1))                  # (B,h,NB,P)
+        xs0, jnp.broadcast_to(rb0[:, :, :, None], (bsz, np_, hb, nb)),
+        axis=2)                                                   # (B,P,hb,NB)
+    xs0_t = jnp.transpose(xs0_sel, (0, 2, 3, 1))                  # (B,hb,NB,P)
 
-    n_tiles = bsz * height * nb
+    n_tiles = bsz * hb * nb
     rb0_flat = rb0_t.reshape(n_tiles * np_).astype(jnp.int32)
     xs0_flat = xs0_t.reshape(n_tiles * np_).astype(jnp.int32)
-    bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), height * nb)
-    ys_flat = jnp.tile(jnp.repeat(jnp.arange(height, dtype=jnp.int32), nb),
+    bidx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), hb * nb)
+    ys_flat = jnp.tile(jnp.repeat(jnp.arange(hb, dtype=jnp.int32) * RB, nb),
                        bsz)
-    x0_flat = jnp.tile(jnp.arange(nb, dtype=jnp.int32) * tile, bsz * height)
+    x0_flat = jnp.tile(jnp.arange(nb, dtype=jnp.int32) * tile, bsz * hb)
 
     g_t = jnp.transpose(g, (0, 1, 2, 4, 3))                       # (B,P,R,C,T)
     xy = jnp.stack([x, y], axis=3)                                # (B,P,R,2,T)
@@ -209,7 +227,7 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         num_scalar_prefetch=5,
         grid=(n_tiles, np_),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec((1, c, tile), lambda i, p, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, RB * c), lambda i, p, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, kb, c, wx), g.dtype),
@@ -220,11 +238,12 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, c, tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, RB * c), jnp.float32),
         interpret=interpret,
     )(bidx, rb0_flat, xs0_flat, ys_flat, x0_flat, g_t, xy)
 
-    img = out.reshape(bsz, height, nb, c, tile)
-    img = jnp.transpose(img, (0, 1, 2, 4, 3)).reshape(bsz, height,
-                                                      nb * tile, c)
-    return img[:, :, :width], coverage_ok
+    # out[tile, t, j*C+c] = d_img[b, ys0+j, x'0+t, c]
+    img = out.reshape(bsz, hb, nb, tile, RB, c)
+    img = jnp.transpose(img, (0, 1, 4, 2, 3, 5)).reshape(
+        bsz, hb * RB, nb * tile, c)
+    return img[:, :height, :width], coverage_ok

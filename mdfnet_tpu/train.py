@@ -130,14 +130,17 @@ def main(argv=None):
                              "(f32 BN stats/loss/optimizer) — the published "
                              "TPU training configuration, 1.48x the f32 "
                              "step time (BENCH.md)")
-    parser.add_argument("--no-remat", action="store_true",
-                        help="disable per-stage gradient rematerialisation "
-                             "(remat is on by default so the reference's "
-                             "batch-4 config fits one 16 GB chip)")
+    parser.add_argument("--remat", action="store_true",
+                        help="per-stage gradient rematerialisation: trades "
+                             "~2x step time for activation memory. Off by "
+                             "default — the scatter-free warp adjoint fits "
+                             "the reference's batch-4 640x512 config on one "
+                             "16 GB chip without it (BENCH.md); turn on for "
+                             "larger batches/resolutions")
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
-    model_cfg = ModelConfig(remat=not args.no_remat,
+    model_cfg = ModelConfig(remat=args.remat,
                             compute_dtype=("bfloat16" if args.fast
                                            else "float32"),
                             wfold=args.fast)

@@ -52,7 +52,7 @@ def test_cli_train_then_eval(data_root, tmp_path):
     from mdfnet_tpu.train import main as train_main
     train_main(["-d", "dtu", "--root", str(root), "--scans", "1",
                 "--epochs", "2", "--batch-size", "2", "--nviews", "4",
-                "--lightings", "1", "--ckpt-dir", ckpt_dir, "--no-remat"])
+                "--lightings", "1", "--ckpt-dir", ckpt_dir])
 
     # reference train.py artifacts: per-epoch checkpoint + epoch_loss.txt
     losses = open(os.path.join(ckpt_dir, "epoch_loss.txt")).read().split()

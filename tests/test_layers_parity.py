@@ -107,6 +107,33 @@ def test_batchnorm_train_matches_torch(rng):
                                tbn.running_var.detach().numpy(), atol=1e-5)
 
 
+def test_batchnorm_vgroups_matches_sequential_torch(rng):
+    # the stacked train backbone computes per-view BN statistics in one
+    # call (BatchNorm vgroups); it must equal V sequential torch train-mode
+    # calls — including the chained running-stat EMA (reference
+    # net/core.py:42 calls the FPN per view)
+    V, B = 5, 2
+    x = rng.randn(V, B, 5, 5, 3).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(3)
+    tbn.train()
+    refs = [tbn(torch.from_numpy(x[v]).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1).detach().numpy() for v in range(V)]
+
+    bn = BatchNorm()
+    variables = {
+        "params": {"scale": jnp.ones((3,)), "bias": jnp.zeros((3,))},
+        "batch_stats": {"mean": jnp.zeros((3,)), "var": jnp.ones((3,))},
+    }
+    out, mutated = bn.apply(variables, jnp.asarray(x.reshape(V * B, 5, 5, 3)),
+                            train=True, vgroups=V, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out).reshape(V, B, 5, 5, 3),
+                               np.stack(refs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               tbn.running_mean.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
+                               tbn.running_var.detach().numpy(), atol=1e-5)
+
+
 def test_resize_bilinear_2x_matches_torch(rng):
     x = rng.randn(2, 3, 10, 14).astype(np.float32)
     ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="bilinear",

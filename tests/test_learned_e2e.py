@@ -34,8 +34,7 @@ def test_learned_train_eval_fuse_metric(tmp_path, capsys):
     from mdfnet_tpu.train import main as train_main
     train_main(["-d", "dtu", "--root", str(root), "--scans", "1",
                 "--epochs", str(EPOCHS), "--batch-size", "2", "--nviews",
-                "4", "--lightings", "1", "--ckpt-dir", ckpt_dir,
-                "--no-remat"])
+                "4", "--lightings", "1", "--ckpt-dir", ckpt_dir])
     losses = [float(x) for x in
               open(os.path.join(ckpt_dir, "epoch_loss.txt")).read().split()]
     # converged: an order of magnitude below the untrained start

@@ -52,6 +52,7 @@ if __name__ == "__main__":
         "b1r": [(1, True)],
         "b2": [(2, False)],
         "b4r": [(4, True)],
+        "b4": [(4, False)],
         "all": [(1, False), (1, True), (2, False), (4, True)],
     }[which]
     for B, remat in combos:

@@ -18,7 +18,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--logdir", default="/tmp/train_trace")
     p.add_argument("-b", "--batch", type=int, default=4)
-    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--steps", type=int, default=3)
     a = p.parse_args()
