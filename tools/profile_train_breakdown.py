@@ -107,17 +107,18 @@ def main():
 
     total = 0.0
 
-    # backbone fwd+bwd (per view; the train path calls it 5x)
+    # backbone fwd+bwd (the train path runs ONE view-major stacked pass
+    # with per-view BN statistics — models/core.py)
     backbone = FPN4Scales(dtype=dtype)
-    imgs = jax.random.uniform(rng, (B, H, W, 3), dtype)
-    bb_vars = backbone.init(rng, imgs, True)
-    g = grad_of(lambda v, x: backbone.apply(v, x, True,
+    imgs = jax.random.uniform(rng, (V * B, H, W, 3), dtype)
+    bb_vars = backbone.init(rng, imgs, True, V)
+    g = grad_of(lambda v, x: backbone.apply(v, x, True, V,
                                             mutable=["batch_stats"])[0],
                 bb_vars, imgs)
     t = timeit_injit(lambda x: g(bb_vars["params"], x), 0, imgs)
-    print(f"backbone fwd+bwd (1 view): {t*1000:.1f} ms  (x{V} views = "
-          f"{t*V*1000:.1f})", flush=True)
-    total += t * V
+    print(f"backbone fwd+bwd (stacked {V} views): {t*1000:.1f} ms",
+          flush=True)
+    total += t
 
     intr = jnp.tile(jnp.array([[1000.0, 0, W / 2], [0, 1000.0, H / 2],
                                [0, 0, 1]], jnp.float32), (B, V, 1, 1))
