@@ -203,8 +203,14 @@ class CoreNet(nn.Module):
             # convert back to channels-last
             if fused and not self.pallas_conv:
                 cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
+            if train and self.pallas_conv:
+                # train fast path: the U-Net rides the custom-VJP Pallas
+                # convs in their native (B, D, H, C, W) layout
+                # (ops/pallas/conv3d_vjp.py; single-device configs only —
+                # Pallas calls carry no GSPMD partitioning rules)
+                cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
             prob_volume = regulars[stage](
-                cost_volume, train, fused and self.pallas_conv,
+                cost_volume, train, (fused or train) and self.pallas_conv,
                 None if train else vw)  # (B, D, h, w) f32
             depth = depth_regression(prob_volume, depth_hypos)
             depths.append(depth)

@@ -191,7 +191,38 @@ class BatchNorm(nn.Module):
     fold: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool, vgroups: int = 1):
+    def __call__(self, x, train: bool, vgroups: int = 1,
+                 dhcw: bool = False):
+        if dhcw:
+            # channel axis is -2 ((B, D, H, C, W) Pallas-layout volumes):
+            # statistics over all other axes, computed in f32 like below
+            assert self.fold == 1 and vgroups == 1
+            ch = x.shape[-2]
+            scale = self.param("scale", nn.initializers.ones, (ch,))
+            bias = self.param("bias", nn.initializers.zeros, (ch,))
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((ch,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((ch,), jnp.float32))
+            xf = x.astype(jnp.float32)
+            axes = tuple(a for a in range(x.ndim) if a != x.ndim - 2)
+            if train:
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
+                if not self.is_initializing():
+                    n = x.size // ch
+                    unbiased = var * (n / max(n - 1, 1))
+                    ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                     + self.momentum * mean)
+                    ra_var.value = ((1 - self.momentum) * ra_var.value
+                                    + self.momentum * unbiased)
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon)[:, None]
+            y = ((xf - mean[:, None]) * inv
+                 * scale.astype(jnp.float32)[:, None]
+                 + bias.astype(jnp.float32)[:, None])
+            return y.astype(x.dtype)
         ch = x.shape[-1] // self.fold
         scale = self.param("scale", nn.initializers.ones, (ch,))
         bias = self.param("bias", nn.initializers.zeros, (ch,))
@@ -329,6 +360,19 @@ class ConvBNReLU3D(nn.Module):
             if (not train) and self.kernel_size == 3 and s in ((1, 1, 1),
                                                                (2, 2, 2)):
                 return self._pallas_path(x, s[0], dhcw, valid_w, keep_wpad)
+            if (train and dhcw and self.kernel_size == 3
+                    and s in ((1, 1, 1), (2, 2, 2))):
+                # train fast path: Pallas conv with a custom VJP
+                # (ops/pallas/conv3d_vjp.py) + batch-stat BN/ReLU in XLA on
+                # the compact (B, D, H, C, W) layout
+                from mdfnet_tpu.ops.pallas.conv3d_vjp import conv3d_train
+                ci = x.shape[3]
+                kernel = _ConvKernelParam((3, 3, 3, ci, self.features),
+                                          ci * 27, name="conv")()
+                dtype = self.dtype or x.dtype
+                y = conv3d_train(x.astype(dtype), kernel.astype(dtype), s[0])
+                y = BatchNorm(name="bn")(y, train, dhcw=True)
+                return nn.relu(y)
         assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         if not self.wfold:
@@ -467,15 +511,27 @@ class TrConvBNReLU3D(nn.Module):
     def __call__(self, x, train: bool = False, dhcw: bool = False,
                  valid_w: int | None = None, keep_wpad: bool = False):
         from mdfnet_tpu.ops import wfold as wf
-        if self.pallas_eval and not self.wfold and not train:
+        if self.pallas_eval and not self.wfold:
             s = ((self.strides,) * 3 if isinstance(self.strides, int)
                  else tuple(self.strides))
             op = ((self.output_padding,) * 3
                   if isinstance(self.output_padding, int)
                   else tuple(self.output_padding))
-            if (self.kernel_size == 3 and s == (2, 2, 2) and op == (1, 1, 1)
-                    and self.padding == 1):
+            ok = (self.kernel_size == 3 and s == (2, 2, 2)
+                  and op == (1, 1, 1) and self.padding == 1)
+            if ok and not train:
                 return self._pallas_path(x, dhcw, valid_w, keep_wpad)
+            if ok and train and dhcw:
+                # train fast path (see ConvBNReLU3D): Pallas transposed conv
+                # with custom VJP + batch-stat BN/ReLU in XLA
+                from mdfnet_tpu.ops.pallas.conv3d_vjp import trconv3d_train
+                ci = x.shape[3]
+                kernel = _ConvKernelParam((3, 3, 3, self.features, ci),
+                                          self.features * 27, name="conv")()
+                dtype = self.dtype or x.dtype
+                y = trconv3d_train(x.astype(dtype), kernel.astype(dtype))
+                y = BatchNorm(name="bn")(y, train, dhcw=True)
+                return nn.relu(y)
         assert not dhcw, "dhcw layout requires the pallas_eval path"
 
         x = ConvTransposeND(self.features, (self.kernel_size,) * 3, self.strides,

@@ -180,6 +180,8 @@ class RegularNet3Scales(nn.Module):
                  valid_w: int | None = None):
         c0, c1, c2 = self.inner_chs, self.inner_chs * 2, self.inner_chs * 4
         if dhcw:
+            if train:
+                return self._dhcw_train_path(x, c0, c1, c2)
             return self._dhcw_path(x, c0, c1, c2, valid_w)
         _, d, h, w, _ = x.shape
         assert h % 4 == 0 and w % 4 == 0, f"volume H,W must divide 4, got {x.shape}"
@@ -210,6 +212,38 @@ class RegularNet3Scales(nn.Module):
         s.x = s.x + skip0_x
 
         out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
+        return nn.softmax(out, axis=1)
+
+    def _dhcw_train_path(self, x, c0, c1, c2):
+        """Train: the conv stack rides the custom-VJP Pallas kernels
+        (ops/pallas/conv3d_vjp.py) on the compact (B, D, H, C, W) layout,
+        with batch-stat BN/ReLU in XLA. Exact-width tensors (the kernels
+        pad/slice lanes internally); ProbConv keeps its single-lax-conv
+        train form on NDHWC."""
+        dt = self.dtype
+
+        def conv(name, feats, stride, inp):
+            return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
+                                pallas_eval=True, name=name)(
+                inp, True, dhcw=True)
+
+        def trconv(name, feats, inp):
+            return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
+                                  pallas_eval=True, name=name)(
+                inp, True, dhcw=True)
+
+        v = conv("conv01_0", c0, 1, x)
+        skip0 = conv("conv01_1", c0, 1, v)
+        v = conv("conv12_0", c1, 2, skip0)
+        v = conv("conv12_1", c1, 1, v)
+        skip1 = conv("conv12_2", c1, 1, v)
+        v = conv("conv232_0", c2, 2, skip1)
+        v = conv("conv232_1", c2, 1, v)
+        v = conv("conv232_2", c2, 1, v)
+        v = trconv("conv232_3", c1, v)[:, :skip1.shape[1]] + skip1
+        v = trconv("conv10", c0, v)[:, :skip0.shape[1]] + skip0
+        out = ProbConv(dtype=dt, name="prob")(
+            jnp.transpose(v, (0, 1, 2, 4, 3)), train=True)
         return nn.softmax(out, axis=1)
 
     def _dhcw_path(self, x, c0, c1, c2, valid_w=None):
@@ -268,6 +302,8 @@ class RegularNet4Scales(nn.Module):
         c0, c1, c2, c3 = (self.base_chs, self.base_chs * 2,
                           self.base_chs * 4, self.base_chs * 8)
         if dhcw:
+            if train:
+                return self._dhcw_train_path(x, c0, c1, c2, c3)
             return self._dhcw_path(x, c0, c1, c2, c3, valid_w)
         _, d, h, w, _ = x.shape
         assert h % 8 == 0 and w % 8 == 0, f"volume H,W must divide 8, got {x.shape}"
@@ -305,6 +341,36 @@ class RegularNet4Scales(nn.Module):
         s.x = s.x + x1_x
 
         out = ProbConv(dtype=dt, name="prob")(s.value(), train=train)
+        return nn.softmax(out, axis=1)
+
+    def _dhcw_train_path(self, x, c0, c1, c2, c3):
+        """Train: custom-VJP Pallas convs on (B, D, H, C, W) with XLA
+        batch-stat BN/ReLU (see RegularNet3Scales._dhcw_train_path)."""
+        dt = self.dtype
+        assert tuple(self.sample_stride) == (2, 2, 2)
+
+        def conv(name, feats, stride, inp):
+            return ConvBNReLU3D(feats, 3, stride, 1, dtype=dt,
+                                pallas_eval=True, name=name)(
+                inp, True, dhcw=True)
+
+        def trconv(name, feats, inp):
+            return TrConvBNReLU3D(feats, 3, 2, 1, 1, dtype=dt,
+                                  pallas_eval=True, name=name)(
+                inp, True, dhcw=True)
+
+        x1 = conv("conv01", c0, 1, x)
+        v = conv("conv12_0", c1, 2, x1)
+        x2 = conv("conv12_1", c1, 1, v)
+        v = conv("conv23_0", c2, 2, x2)
+        x3 = conv("conv23_1", c2, 1, v)
+        v = conv("conv343_0", c3, 2, x3)
+        v = conv("conv343_1", c3, 1, v)
+        v = trconv("conv343_2", c2, v)[:, :x3.shape[1]] + x3
+        v = trconv("trconv32", c1, v)[:, :x2.shape[1]] + x2
+        v = trconv("trconv21", c0, v)[:, :x1.shape[1]] + x1
+        out = ProbConv(dtype=dt, name="prob")(
+            jnp.transpose(v, (0, 1, 2, 4, 3)), train=True)
         return nn.softmax(out, axis=1)
 
     def _dhcw_path(self, x, c0, c1, c2, c3, valid_w=None):

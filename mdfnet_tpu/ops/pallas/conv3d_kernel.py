@@ -34,7 +34,8 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                  offset_ref,       # (1, Co) VMEM f32
                  out_ref,          # (1, Th, Co, Wp) VMEM block
                  slab, sems,       # scratch (2, 3, s*Th+2, 3Ci, Wp), DMA sems
-                 *, th: int, stride: int, wvalid: int = 0):
+                 *, th: int, stride: int, wvalid: int = 0,
+                 relu: bool = True):
     """Stride-2 path: consumes the host-side parity-stacked input."""
     d = pl.program_id(0)
     hb = pl.program_id(1)
@@ -75,7 +76,9 @@ def _conv_kernel(x_ref,            # (Dp, Hp, 3Ci, Wp) ANY/HBM (pre-padded)
                     w_ref[dz * 3 + dy], cur[dz, stride * hh + dy],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+        y = acc * scale[:, None] + offset[:, None]
+        if relu:
+            y = jnp.maximum(y, 0.0)
         if 0 < wvalid < wp:
             yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             y = y * (yi < wvalid).astype(y.dtype)
@@ -105,7 +108,7 @@ def _conv_kernel_unstacked(
         out_ref,          # (Td, Th, Co, Wp) VMEM block
         slab, taps, sems,  # (2, Td+2, Th+2, ci_e, Wq), (Td+2, Th+2, Z, Wp)
         *, th: int, td: int, gg: int, nblk: int, d: int, h: int,
-        wvalid: int = 0):
+        wvalid: int = 0, relu: bool = True):
     """Stride-1 v2: Td output planes + Th output rows per grid step, with
     BOTH pad axes handled in-kernel (no host-side pad copy of the volume)
     and the (Td+2)-plane slab amortising the D-halo re-reads (v1 re-DMA'd
@@ -236,7 +239,9 @@ def _conv_kernel_unstacked(
                     w_ref[dz], t3,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            y = jnp.maximum(acc * scale[:, None] + offset[:, None], 0.0)
+            y = acc * scale[:, None] + offset[:, None]
+            if relu:
+                y = jnp.maximum(y, 0.0)
             if 0 < wvalid < wp:
                 yi = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
                 y = y * (yi < wvalid).astype(y.dtype)
@@ -244,11 +249,12 @@ def _conv_kernel_unstacked(
 
 
 @functools.partial(jax.jit, static_argnames=("th", "td", "stride", "valid_w",
-                                             "keep_wpad", "interpret"))
+                                             "keep_wpad", "relu",
+                                             "interpret"))
 def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                    offset: jnp.ndarray, *, th: int = 16, td: int = 4,
                    stride: int = 1, valid_w: int | None = None,
-                   keep_wpad: bool = False,
+                   keep_wpad: bool = False, relu: bool = True,
                    interpret: bool = False) -> jnp.ndarray:
     """Fused conv3d (stride 1 or isotropic 2) + scale/offset + relu on
     (D, H, C, W) layout.
@@ -327,7 +333,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         offset2 = offset.reshape(1, co).astype(jnp.float32)
         kern = functools.partial(_conv_kernel_unstacked, th=th_, td=td_,
                                  gg=gg, nblk=nblk, d=d, h=h,
-                                 wvalid=vw if keep_wpad else 0)
+                                 wvalid=vw if keep_wpad else 0, relu=relu)
         out = pl.pallas_call(
             kern,
             grid=(n_db, n_hb),
@@ -383,7 +389,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     offset2 = offset.reshape(1, co).astype(jnp.float32)
 
     kern = functools.partial(_conv_kernel, th=th, stride=stride,
-                             wvalid=w_out if keep_wpad else 0)
+                             wvalid=w_out if keep_wpad else 0, relu=relu)
     out = pl.pallas_call(
         kern,
         grid=(d_out, h_out_pad // th),
@@ -412,6 +418,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
 def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                      offset: jnp.ndarray, *, th: int = 8,
                      valid_w: int | None = None, keep_wpad: bool = False,
+                     relu: bool = True,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused ConvTranspose3d(3,stride 2,pad 1,out_pad 1) + BN(eval) + ReLU.
 
@@ -453,7 +460,7 @@ def trconv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     k_all = jnp.concatenate(kernels, axis=-1)        # (3,3,3,Ci,8Co)
     y = conv3d_bn_relu(x, k_all, jnp.tile(scale, 8), jnp.tile(offset, 8),
                        th=th, valid_w=valid_w, keep_wpad=keep_wpad,
-                       interpret=interpret)          # (D, H, 8Co, Wy)
+                       relu=relu, interpret=interpret)  # (D, H, 8Co, Wy)
     wy = y.shape[-1]
     y = y.reshape(d, h, 2, 2, 2, co, wy)
     y = y.transpose(0, 2, 1, 3, 5, 6, 4)             # (D,2,H,2,Co,Wy,2)

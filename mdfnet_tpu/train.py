@@ -140,10 +140,20 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
+    # --fast on one accelerator additionally routes the plane-sweep warp and
+    # the U-Net convs through the Pallas train kernels (splat adjoint +
+    # custom-VJP conv3d, BENCH.md "Training (round 3)"). Pallas calls carry
+    # no GSPMD partitioning rules, so multi-device (DP) runs and CPU keep
+    # the XLA paths.
+    one_accel = (len(jax.devices()) == 1
+                 and jax.devices()[0].platform != "cpu")
     model_cfg = ModelConfig(remat=args.remat,
                             compute_dtype=("bfloat16" if args.fast
                                            else "float32"),
-                            wfold=args.fast)
+                            wfold=args.fast,
+                            warp_impl=("pallas" if args.fast and one_accel
+                                       else "dense"),
+                            pallas_conv=args.fast and one_accel)
 
     def train_config(default_batch: int) -> TrainConfig:
         overrides = {}

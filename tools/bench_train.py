@@ -10,9 +10,12 @@ from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
 from mdfnet_tpu.train_lib import create_train_state, make_train_step
 
 
-def main(batch_size: int = 1, remat: bool = False, wfold: bool = False):
-    # per-chip batch: the reference splits B=4 over up to 8 GPUs; with remat
-    # the full reference batch fits ONE 16 GB chip (pass batch_size=4)
+def main(batch_size: int = 1, remat: bool = False, wfold: bool = False,
+         fast: bool = False):
+    # per-chip batch: the reference splits B=4 over up to 8 GPUs; the
+    # scatter-free splat adjoint fits the full reference batch on ONE
+    # 16 GB chip without remat (BENCH.md). --fast = the published train
+    # config: bf16 conv compute + wfold + Pallas train U-Nets.
     H, W, V, B = 512, 640, 5, batch_size
     scene = make_plane_scene(height=H, width=W, nviews=V, plane_depth=650.0,
                              tilt=0.05)
@@ -23,7 +26,10 @@ def main(batch_size: int = 1, remat: bool = False, wfold: bool = False):
 
     platform = jax.devices()[0].platform
     warp = "pallas" if platform != "cpu" else "dense"
-    model_cfg = ModelConfig(warp_impl=warp, remat=remat, wfold=wfold)
+    model_cfg = ModelConfig(warp_impl=warp, remat=remat,
+                            wfold=wfold or fast,
+                            compute_dtype="bfloat16" if fast else "float32",
+                            pallas_conv=fast and platform != "cpu")
     train_cfg = TrainConfig(batch_size=B)
 
     model, state = create_train_state(jax.random.PRNGKey(0), model_cfg, batch)
@@ -41,8 +47,8 @@ def main(batch_size: int = 1, remat: bool = False, wfold: bool = False):
         state, loss = step(state, batch)
     sync(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step (B={B}, remat={remat}, wfold={wfold}): {dt*1000:.0f} ms  "
-          f"({B / dt:.2f} items/s, loss {float(loss):.4f})")
+    print(f"train step (B={B}, remat={remat}, wfold={wfold}, fast={fast}): "
+          f"{dt*1000:.0f} ms  ({B / dt:.2f} items/s, loss {float(loss):.4f})")
 
 
 if __name__ == "__main__":
@@ -51,5 +57,8 @@ if __name__ == "__main__":
     p.add_argument("-b", "--batch-size", type=int, default=1)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--wfold", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="published train config: bf16 + wfold + Pallas "
+                        "train U-Nets (custom-VJP conv3d)")
     a = p.parse_args()
-    main(a.batch_size, a.remat, a.wfold)
+    main(a.batch_size, a.remat, a.wfold, a.fast)
