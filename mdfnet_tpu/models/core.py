@@ -206,8 +206,10 @@ class CoreNet(nn.Module):
             if train and self.pallas_conv:
                 # train fast path: the U-Net rides the custom-VJP Pallas
                 # convs in their native (B, D, H, C, W) layout
-                # (ops/pallas/conv3d_vjp.py; single-device configs only —
-                # Pallas calls carry no GSPMD partitioning rules)
+                # (ops/pallas/conv3d_vjp.py). Multi-device: use the
+                # shard_map DP step (train_lib.make_train_step(mesh=...)) —
+                # its body is a per-device program, so these kernels ride
+                # the mesh; plain GSPMD jit cannot partition Pallas calls.
                 cost_volume = jnp.transpose(cost_volume, (0, 1, 2, 4, 3))
             prob_volume = regulars[stage](
                 cost_volume, train, (fused or train) and self.pallas_conv,

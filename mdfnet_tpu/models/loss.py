@@ -9,8 +9,9 @@ is computed as a masked weighted sum — identical value, static shapes.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -21,14 +22,20 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.
 
 def multi_scale_depth_loss(depths: Sequence[jnp.ndarray],
                            gt_pyramid: Dict[str, jnp.ndarray],
-                           depth_range: jnp.ndarray) -> jnp.ndarray:
+                           depth_range: jnp.ndarray,
+                           axis_name: Optional[str] = None) -> jnp.ndarray:
     """
     Args:
         depths: predicted depths coarse-to-fine, [d_1/8, d_1/4, d_1/2, d_full].
         gt_pyramid: {"3": 1/8 GT, "2": 1/4, "1": 1/2, "0": full}, each (B,h,w).
         depth_range: (B, 2).
+        axis_name: when called per-shard inside shard_map over a data-parallel
+            mesh axis, the masked sums and counts are psum'd over that axis
+            first, so every shard computes the exact GLOBAL-batch masked mean
+            (pmean of per-shard means would mis-weight shards whose valid-
+            pixel counts differ).
     Returns:
-        scalar loss.
+        scalar loss (globally identical on every shard when axis_name given).
     """
     dmin = depth_range[:, 0].reshape(-1, 1, 1)
     total = 0.0
@@ -36,5 +43,10 @@ def multi_scale_depth_loss(depths: Sequence[jnp.ndarray],
         gt = gt_pyramid[key]
         mask = (gt > dmin).astype(jnp.float32)
         per_px = smooth_l1(depth.astype(jnp.float32), gt.astype(jnp.float32))
-        total = total + jnp.sum(per_px * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        s = jnp.sum(per_px * mask)
+        c = jnp.sum(mask)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            c = jax.lax.psum(c, axis_name)
+        total = total + s / jnp.maximum(c, 1.0)
     return total

@@ -69,7 +69,9 @@ def train(dataset, model_config: ModelConfig, train_config: TrainConfig,
             start_epoch = int(state.epoch) + 1
         log.info("resumed from %s at epoch %d", pre_model, start_epoch)
 
-    step_fn = make_train_step(model, train_config)
+    # data>1 -> the shard_map DP step (explicit psum collectives; Pallas
+    # train kernels ride the mesh). data==1 -> plain jit.
+    step_fn = make_train_step(model, train_config, mesh=mesh)
 
     for epoch in range(start_epoch, train_config.max_epochs + 1):
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
@@ -140,20 +142,20 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     data_cfg = DataConfig(root_dir=args.root) if args.root else DataConfig()
-    # --fast on one accelerator additionally routes the plane-sweep warp and
+    # --fast on accelerators additionally routes the plane-sweep warp and
     # the U-Net convs through the Pallas train kernels (splat adjoint +
-    # custom-VJP conv3d, BENCH.md "Training (round 3)"). Pallas calls carry
-    # no GSPMD partitioning rules, so multi-device (DP) runs and CPU keep
-    # the XLA paths.
-    one_accel = (len(jax.devices()) == 1
-                 and jax.devices()[0].platform != "cpu")
+    # custom-VJP conv3d, BENCH.md "Training (round 3)"). Multi-device runs
+    # use the shard_map DP step (train_lib.make_train_step), whose body is a
+    # per-device program — the Pallas kernels ride the mesh unchanged; only
+    # CPU keeps the XLA paths.
+    accel = all(d.platform != "cpu" for d in jax.devices())
     model_cfg = ModelConfig(remat=args.remat,
                             compute_dtype=("bfloat16" if args.fast
                                            else "float32"),
                             wfold=args.fast,
-                            warp_impl=("pallas" if args.fast and one_accel
+                            warp_impl=("pallas" if args.fast and accel
                                        else "dense"),
-                            pallas_conv=args.fast and one_accel)
+                            pallas_conv=args.fast and accel)
 
     def train_config(default_batch: int) -> TrainConfig:
         overrides = {}

@@ -63,22 +63,43 @@ def create_train_state(rng: jax.Array, model_config: ModelConfig,
     return model, state
 
 
-def make_train_step(model, train_config: TrainConfig):
-    """Build the jitted train step. donate state for in-place HBM updates."""
+def make_train_step(model, train_config: TrainConfig, mesh=None,
+                    axis: str = "data"):
+    """Build the jitted train step. donate state for in-place HBM updates.
+
+    With ``mesh=None`` (or a 1-extent data axis) the step is a plain jit:
+    data parallelism then comes from GSPMD — shard the batch over the mesh
+    and XLA partitions the program and inserts the gradient all-reduce.
+    That path cannot partition Pallas kernels, so it forces the XLA
+    warp/conv implementations on multi-device runs.
+
+    With a ``mesh`` whose ``data`` axis extent > 1 the step is built with
+    jax.shard_map instead: each device runs the FULL per-shard program —
+    Pallas kernels included (a shard_map body is a per-device program, so
+    the splat-adjoint warp and custom-VJP conv3d train kernels ride the DP
+    mesh unchanged) — and the collectives are explicit:
+
+    - loss: masked sums/counts psum'd inside the loss (exact global-batch
+      masked mean, identical to the single-device step);
+    - grads: psum of per-shard contributions (exact global gradient);
+    - batch_stats: pmean of per-shard updated stats (per-shard batch
+      statistics averaged — deviates from the GSPMD path's global-batch BN
+      by the variance-of-means term; the reference's DataParallel keeps
+      replica-0 stats, train.py:24-26, so neither torch nor either of our
+      paths is "the" semantics — all are test-pinned to train equivalently).
+    """
     tx = make_optimizer()
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, axis_name=None):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["imgs"], batch["extrinsics"], batch["intrinsics"],
             batch["depth_range"], train=True, mutable=["batch_stats"])
         loss = multi_scale_depth_loss(outputs["depth"], batch["ref_depths"],
-                                      batch["depth_range"])
+                                      batch["depth_range"], axis_name=axis_name)
         return loss, mutated["batch_stats"]
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch)
+    def optimizer_apply(state, grads, new_stats, loss):
         lr = poly_lr(state.epoch, train_config.lr, train_config.max_epochs,
                      train_config.lr_decay_factor)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -87,7 +108,30 @@ def make_train_step(model, train_config: TrainConfig):
         return dataclasses.replace(state, params=params, batch_stats=new_stats,
                                    opt_state=opt_state), loss
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        return optimizer_apply(state, grads, new_stats, loss)
+
+    if mesh is None or mesh.shape.get(axis, 1) == 1:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from jax.sharding import PartitionSpec as P
+
+    def shard_step(state: TrainState, batch):
+        # loss_fn psums masked sums/counts internally -> the per-shard loss
+        # IS the global loss, and its per-shard gradient is that shard's
+        # contribution to the global gradient: psum completes it.
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, axis)
+        grads = jax.lax.psum(grads, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        return optimizer_apply(state, grads, new_stats, loss)
+
+    fn = jax.shard_map(shard_step, mesh=mesh,
+                       in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                       check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 # ------------------------------------------------------------------ ckpt io

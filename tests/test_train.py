@@ -208,3 +208,89 @@ def test_data_parallel_eval_matches_single_device(small_setup):
     np.testing.assert_allclose(np.asarray(out_dp["confidence"]),
                                np.asarray(out_single["confidence"]),
                                atol=1e-3)
+
+
+def test_loss_psum_matches_global_masked_mean(small_setup):
+    """The psum'd per-shard loss (axis_name path) must equal the GLOBAL
+    masked mean even when shards have different valid-pixel counts — a
+    pmean-of-shard-means would mis-weight them."""
+    from jax.sharding import PartitionSpec as P
+    from mdfnet_tpu.models.loss import multi_scale_depth_loss
+
+    batch, _, _, _ = small_setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:1]] * 8, axis=0), batch)
+    # distinct valid-pixel counts per item: zero out i columns of row 0 at
+    # every pyramid level (0 < depth_min -> masked out)
+    ref_depths = {}
+    for k, v in batch8["ref_depths"].items():
+        arr = np.asarray(v).copy()
+        for i in range(8):
+            arr[i, :1, :i] = 0.0
+        ref_depths[k] = jnp.asarray(arr)
+    # fake distinct predictions so per-item losses differ too
+    depths = [jnp.asarray(np.asarray(ref_depths[k])
+                          + np.linspace(0.5, 4.0, 8)[:, None, None])
+              for k in ("3", "2", "1", "0")]
+    drange = batch8["depth_range"]
+
+    expected = float(multi_scale_depth_loss(depths, ref_depths, drange))
+
+    mesh = make_mesh(data=8)
+    fn = jax.shard_map(
+        lambda d, g, r: multi_scale_depth_loss(d, g, r, axis_name="data"),
+        mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    got = float(jax.jit(fn)(depths, ref_depths, drange))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_shard_map_step_matches_single_device(small_setup):
+    """The shard_map DP train step (the path that carries the Pallas train
+    kernels onto a mesh) must reproduce the single-device step: identical
+    items per shard -> per-shard BN stats equal global stats, psum'd loss
+    and grads equal the global ones."""
+    batch, cfg, model, _ = small_setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:1]] * 8, axis=0), batch)
+    _, state = create_train_state(jax.random.PRNGKey(1), SMALL, batch8)
+
+    step_single = make_train_step(model, cfg)
+    s_single, loss_single = step_single(
+        jax.tree_util.tree_map(jnp.copy, state), batch8)
+
+    mesh = make_mesh(data=8)
+    step_dp = make_train_step(model, cfg, mesh=mesh)
+    sharded = shard_batch(mesh, batch8)
+    s_dp, loss_dp = step_dp(jax.tree_util.tree_map(jnp.copy, state), sharded)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
+    # batch_stats: XLA compiles the B=1 per-shard and B=8 global programs
+    # differently, and low-order-bit activation differences compound
+    # through the ~30 BN layers (variance = E[x^2]-E[x]^2 is cancellation-
+    # prone), reaching ~1e-2 on deep-layer variances whose batch term is
+    # tiny — a coarse bound suffices (the pmean plumbing itself cannot be
+    # wrong without the loss/grads checks above failing too)
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.batch_stats),
+                    jax.tree_util.tree_leaves(s_dp.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+    # params: post-Adam comparison amplifies f32 reduction-order noise where
+    # gradients are near zero (see test_data_parallel_matches_single_device)
+    # -> compare the UPDATE direction, which any semantic bug (missing psum,
+    # double-counted shard, wrong normalisation) flips or rescales
+    upd_s = np.concatenate(
+        [np.asarray(n - o).ravel() for n, o in
+         zip(jax.tree_util.tree_leaves(s_single.params),
+             jax.tree_util.tree_leaves(state.params))])
+    upd_d = np.concatenate(
+        [np.asarray(n - o).ravel() for n, o in
+         zip(jax.tree_util.tree_leaves(s_dp.params),
+             jax.tree_util.tree_leaves(state.params))])
+    cos = (upd_s @ upd_d) / (np.linalg.norm(upd_s) * np.linalg.norm(upd_d))
+    assert cos > 0.999, f"update direction diverged: cos={cos}"
+    np.testing.assert_allclose(np.linalg.norm(upd_d), np.linalg.norm(upd_s),
+                               rtol=1e-2)

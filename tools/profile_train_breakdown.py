@@ -62,7 +62,12 @@ def main():
     p.add_argument("-b", "--batch", type=int, default=4)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--skip-full", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="the published --fast train config: bf16 + wfold + "
+                        "Pallas train U-Nets (custom-VJP conv3d)")
     a = p.parse_args()
+    if a.fast:
+        a.bf16 = a.wfold = True
 
     from mdfnet_tpu.config import ModelConfig, TrainConfig
     from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
@@ -90,7 +95,8 @@ def main():
                      if isinstance(v, dict) else jnp.asarray(v))
                  for k, v in batch_np.items()}
         model_cfg = ModelConfig(warp_impl="pallas", remat=a.remat,
-                                wfold=a.wfold, compute_dtype=cd)
+                                wfold=a.wfold, compute_dtype=cd,
+                                pallas_conv=a.fast)
         model, state = create_train_state(jax.random.PRNGKey(0), model_cfg,
                                           batch)
         step = make_train_step(model, TrainConfig(batch_size=B))
@@ -158,9 +164,12 @@ def main():
                else RegularNet4Scales(8, dtype=dtype, use_fold=a.wfold))
         reg_vars = reg.init(rng, vol, True)
 
+        if a.fast:  # custom-VJP Pallas convs want (B, D, H, C, W)
+            vol = jnp.transpose(vol, (0, 1, 2, 4, 3))
+
         def reg_loss(params, x, reg=reg, reg_vars=reg_vars):
             out, _ = reg.apply({**reg_vars, "params": params}, x, True,
-                               mutable=["batch_stats"])
+                               a.fast, mutable=["batch_stats"])
             return jnp.sum(out.astype(jnp.float32) ** 2)
         rg = jax.value_and_grad(reg_loss, argnums=(0, 1))
         t = timeit_injit(lambda x, rv=reg_vars, r=rg: r(rv["params"], x), 0,
