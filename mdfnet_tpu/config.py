@@ -39,6 +39,13 @@ class ModelConfig:
     # width-fold the U-Net volumes (exact transform, ops/wfold.py) — fills
     # the 128-lane axis that small-C f32 training activations waste
     wfold: bool = False
+    # pluggable-unit extension points (the reference's unused alternatives,
+    # kept assemblable per SURVEY §2: net/unit/homoaggregate.py:49-69,
+    # depthhypos.py:218-253, refine.py:49-95). The alternatives run on the
+    # XLA paths only (warp_impl dense/gather/pallas, pallas_conv=False).
+    aggregate_impl: str = "vector"   # "vector" | "variance"
+    hypo_impl: str = "fit"           # "fit" (MDF curve fitting) | "atv"
+    refine_impl: str = "refine2"     # "refine2" | "refine1" (image-guided)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from mdfnet_tpu import geometry
 from mdfnet_tpu.models.aggregate import VectorAggregate
+from mdfnet_tpu.models.aggregate_variance import VarianceAggregate
 from mdfnet_tpu.models.backbone import FPN4Scales
 from mdfnet_tpu.models.refine import RefineNet2
 from mdfnet_tpu.models.regularize import RegularNet3Scales, RegularNet4Scales
@@ -52,6 +53,13 @@ class CoreNet(nn.Module):
     # f32 activations up to 8x, which dominates training HBM; folding is an
     # exact kernel transform that fills the lanes (4x less padded memory)
     wfold: bool = False
+    # pluggable alternatives (the reference's unused-but-present units, kept
+    # assemblable): variance cost aggregation (homoaggregate.py:49-69),
+    # adaptive-thin-volume hypotheses (depthhypos.py:218-253), image-guided
+    # RefineNet v1 (refine.py:49-95). XLA paths only.
+    aggregate_impl: str = "vector"
+    hypo_impl: str = "fit"
+    refine_impl: str = "refine2"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -67,6 +75,12 @@ class CoreNet(nn.Module):
             eval:  {"depth": (B, H, W), "confidence": (B, H, W)}
         """
         nstages = len(self.ndepths)
+        alt_units = (self.aggregate_impl != "vector"
+                     or self.hypo_impl != "fit"
+                     or self.refine_impl != "refine2")
+        assert not (alt_units and (self.pallas_conv
+                                   or self.warp_impl == "fused")), (
+            "alternative units run on the XLA paths only")
         # Under remat (training), the per-stage blocks are wrapped with
         # nn.remat: the backward pass recomputes the warp/cost-volume/U-Net
         # intermediates instead of storing them. Lifted transforms keep the
@@ -74,8 +88,10 @@ class CoreNet(nn.Module):
         use_remat = train and self.remat
         BackboneCls = (nn.remat(FPN4Scales, static_argnums=(2, 3))
                        if use_remat else FPN4Scales)
-        AggregateCls = (nn.remat(VectorAggregate, static_argnums=(5, 6))
-                        if use_remat else VectorAggregate)
+        AggBase = (VectorAggregate if self.aggregate_impl == "vector"
+                   else VarianceAggregate)
+        AggregateCls = (nn.remat(AggBase, static_argnums=(5, 6))
+                        if use_remat else AggBase)
         Reg3Cls = (nn.remat(RegularNet3Scales, static_argnums=(2, 3))
                    if use_remat else RegularNet3Scales)
         Reg4Cls = (nn.remat(RegularNet4Scales, static_argnums=(2, 3))
@@ -103,8 +119,12 @@ class CoreNet(nn.Module):
                              use_fold=self.wfold,
                              name=f"regular{s}")
                      for s in range(1, nstages)]
-        refine = RefineNet2(dtype=self.dtype, pallas_eval=self.pallas_conv,
-                            name="refine")
+        if self.refine_impl == "refine2":
+            refine = RefineNet2(dtype=self.dtype,
+                                pallas_eval=self.pallas_conv, name="refine")
+        else:
+            from mdfnet_tpu.models.refine import RefineNet
+            refine = RefineNet(dtype=self.dtype, name="refine")
 
         b, nviews = imgs.shape[0], imgs.shape[1]
         if train:
@@ -166,7 +186,16 @@ class CoreNet(nn.Module):
                 intrinsics.astype(jnp.float32), extrinsics.astype(jnp.float32),
                 stage, num_stages=nstages + 1)
 
-            if self.curve_classes[stage] is None:
+            if self.hypo_impl == "atv" and depth is not None:
+                # adaptive-thin-volume alternative: band = previous depth
+                # +- its posterior's expected deviation (sqrt E[(d-mean)^2])
+                from mdfnet_tpu.ops.fitting import atv_hypos
+                from mdfnet_tpu.ops.sample import resize_bilinear_2x
+                dev = jnp.sqrt(jnp.maximum(depth_regression(
+                    prob_volume, (depth_hypos - depth[:, None]) ** 2), 0.0))
+                depth_hypos = atv_hypos(resize_bilinear_2x(depth), dev,
+                                        depth_range, self.ndepths[stage])
+            elif self.curve_classes[stage] is None:
                 depth_hypos = uniform_hypotheses(depth_range, self.ndepths[stage])
             else:
                 depth_hypos = refined_hypotheses(
@@ -185,7 +214,13 @@ class CoreNet(nn.Module):
                 if fused and not self.pallas_conv:
                     # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
                     diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
-            if train:
+            if self.aggregate_impl != "vector":
+                cost_volume = aggregates[stage](stage_feats, ref_proj,
+                                                src_projs, depth_hypos, train)
+                if not train:
+                    covers.append(jnp.asarray(True))
+                    vw = None
+            elif train:
                 cost_volume = aggregates[stage](stage_feats, ref_proj,
                                                 src_projs, depth_hypos,
                                                 train, diffs)
@@ -221,7 +256,10 @@ class CoreNet(nn.Module):
         # columns hold softmax mass — tell it the true stage-2 width
         refine_vw = (stage_w[2] if (not train and self.warp_impl == "fused"
                                     and self.pallas_conv) else None)
-        depth = refine(depth, depth_range, train, refine_vw)
+        if self.refine_impl == "refine2":
+            depth = refine(depth, depth_range, train, refine_vw)
+        else:
+            depth = refine(imgs[:, 0], depth, depth_range, train)
         depths.append(depth)
 
         if train:

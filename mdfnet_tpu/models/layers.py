@@ -333,6 +333,28 @@ class ConvBNReLU(nn.Module):
                             valid_w=valid_w, keep_wpad=keep_wpad)
 
 
+class TrConvBNReLU(nn.Module):
+    """ConvTranspose2d + BN + ReLU. Twin of reference net/unit/base.py:28-47
+    (present-but-unused there; kept as an extension point — RefineNet v1
+    uses it for its 2x depth upsampling branch)."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvTransposeND(self.features, (self.kernel_size,) * 2,
+                            self.strides, self.padding, self.output_padding,
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
 class ConvBNReLU3D(nn.Module):
     """Conv3d (no bias) + BN + ReLU. Twin of reference net/unit/base.py:50-69.
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mdfnet_tpu.models.layers import (
-    ConvND, Res, _ConvKernelParam, pixel_shuffle_2x)
+    ConvBNReLU, ConvND, Res, TrConvBNReLU, _ConvKernelParam, pixel_shuffle_2x)
 
 
 class _ResParams(nn.Module):
@@ -163,3 +163,53 @@ class RefineNet2(nn.Module):
         out = out[:, :, 0, :].astype(jnp.float32)    # (B, H, W)
         out = dmin[..., 0] + out * (dmax - dmin)[..., 0]
         return out.astype(depth.dtype)
+
+
+class RefineNet(nn.Module):
+    """Image-guided refinement head — the reference's unused alternative
+    (net/unit/refine.py:49-95): the normalised half-res depth runs through a
+    conv + 2x TrConvBNReLU branch, the full-res reference IMAGE through a
+    conv branch, and their concatenation regresses a residual added to the
+    bilinear-upsampled (align_corners=True) depth.
+
+    Kept as an extension point of the pluggable refinement stage
+    (ModelConfig.refine_impl = "refine1"); unlike RefineNet2 it consumes the
+    reference image, so its signature carries ``ref_img``.
+    """
+    base_chs: int = 8
+    dtype: jnp.dtype | None = None
+    pallas_eval: bool = False  # accepted for interface parity; XLA path only
+
+    @nn.compact
+    def __call__(self, ref_img, depth, depth_range, train: bool = False):
+        """
+        Args:
+            ref_img: (B, H, W, 3) full-res reference view.
+            depth: (B, H/2, W/2) half-res depth.
+            depth_range: (B, 2).
+        Returns:
+            (B, H, W) refined depth.
+        """
+        from mdfnet_tpu.ops.sample import resize_bilinear_2x_align_corners
+
+        c = self.base_chs
+        depth = jax.lax.stop_gradient(depth)[..., None]  # (B, H/2, W/2, 1)
+        b = depth.shape[0]
+        dmin = depth_range[:, 0].astype(depth.dtype).reshape(b, 1, 1, 1)
+        dmax = depth_range[:, 1].astype(depth.dtype).reshape(b, 1, 1, 1)
+        x = (depth - dmin) / (dmax - dmin)
+
+        img = ConvBNReLU(c, dtype=self.dtype, name="conv_img")(ref_img, train)
+        d = ConvBNReLU(c, dtype=self.dtype, name="conv_depth0")(x, train)
+        d = ConvBNReLU(c, dtype=self.dtype, name="conv_depth1")(d, train)
+        d = TrConvBNReLU(c, 3, 2, 1, 1, dtype=self.dtype,
+                         name="conv_depth2")(d, train)
+        res = ConvBNReLU(c, dtype=self.dtype, name="conv_res0")(
+            jnp.concatenate([img, d], axis=-1), train)
+        res = ConvND(1, (3, 3), 1, 1, use_bias=False, dtype=self.dtype,
+                     name="conv_res1")(res)
+
+        up = resize_bilinear_2x_align_corners(x[..., 0])[..., None]
+        out = up + res
+        out = dmin + out * (dmax - dmin)
+        return out[..., 0]

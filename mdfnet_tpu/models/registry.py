@@ -22,6 +22,9 @@ def build_model(config: ModelConfig | None = None) -> CoreNet:
         pallas_conv=config.pallas_conv,
         remat=config.remat,
         wfold=config.wfold,
+        aggregate_impl=config.aggregate_impl,
+        hypo_impl=config.hypo_impl,
+        refine_impl=config.refine_impl,
         dtype=_DTYPES[config.compute_dtype],
     )
 

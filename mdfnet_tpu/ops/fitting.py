@@ -127,6 +127,43 @@ def fit_gauss0(depth: jnp.ndarray, prob_volume: jnp.ndarray,
     return jnp.abs(-1.0 / b0)
 
 
+def atv_hypos(depth: jnp.ndarray | None, exp_variance: jnp.ndarray | None,
+              depth_range: jnp.ndarray, ndepths: int,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """Adaptive-thin-volume hypotheses — the reference's unused alternative
+    hypothesis generator (net/unit/depthhypos.py:218-253, UCS-Net style).
+
+    Stage 0 (``depth is None``): uniform planes, identical to
+    :func:`uniform_hypotheses`. Later stages: the previous stage's depth
+    (already at the NEXT scale) and its expected-variance map (coarse scale,
+    2x-bilinear-upsampled here like the reference's F.interpolate) span a
+    per-pixel asymmetric band [depth - min(depth, var), depth + var]:
+
+        low = -min(depth, var);  step = (var - low) / (ndepths - 1)
+        hypo_i = depth + low + step * i + eps
+
+    Args:
+        depth: (B, H, W) fine-scale depth (detached) or None.
+        exp_variance: (B, H/2, W/2) coarse-scale expected deviation
+            (e.g. sqrt(Σ p (hypo - depth)²)) or None at stage 0.
+    Returns:
+        (B, D, H, W) hypotheses ((B, D, 1, 1) at stage 0).
+    """
+    from mdfnet_tpu.ops.sample import resize_bilinear_2x
+
+    if depth is None:
+        return uniform_hypotheses(depth_range, ndepths)
+
+    depth = jax.lax.stop_gradient(depth).astype(jnp.float32)
+    var = jax.lax.stop_gradient(exp_variance).astype(jnp.float32)
+    var = resize_bilinear_2x(var)
+
+    low = -jnp.minimum(depth, var)
+    step = (var - low) / (ndepths - 1)
+    i = jnp.arange(ndepths, dtype=jnp.float32)[None, :, None, None]
+    return depth[:, None] + low[:, None] + step[:, None] * i + eps
+
+
 _FITTERS = {"gauss0": fit_gauss0, "gauss1": fit_gauss1, "laplace": fit_laplace}
 
 

@@ -42,6 +42,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from mdfnet_tpu.ops.pallas import runtime as _rt
 from jax.experimental.pallas import tpu as pltpu
 
 from mdfnet_tpu import geometry
@@ -392,7 +394,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nd, hpad, c, wp), diffs.dtype),
-        interpret=interpret,
+        interpret=interpret or _rt.force_interpret(),
     )(wstart, yrel, xblk, q_p, coords, k0_2, scalars, diffs)
     return out[:, :h], cover
 

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from mdfnet_tpu.ops.pallas import runtime as _rt
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -343,7 +345,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                 pltpu.VMEM((rows, nblk * slot, wp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            interpret=interpret,
+            interpret=interpret or _rt.force_interpret(),
         )(xs, wfold, scale2, offset2)
         out = out.reshape(n, h_out_pad, co, wp)
         return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
@@ -397,7 +399,7 @@ def conv2d_fused(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             pltpu.VMEM((rows, nblk * slot, wpi), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        interpret=interpret,
+        interpret=interpret or _rt.force_interpret(),
     )(xw, wfold, scale2, offset2, sel)
     out = out.reshape(n, h_out_pad, co, wp)
     return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out]
@@ -806,7 +808,7 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
         out_shape=jax.ShapeDtypeStruct((n, n_hb * r_fold * co_last, wpo),
                                        x.dtype),
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=interpret or _rt.force_interpret(),
     )(*args)
     out = out.reshape(n, n_hb * r_fold, co_last, wpo)
     return out[:, :h_out] if keep_wpad else out[:, :h_out, :, :w_out_t]

@@ -25,6 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from mdfnet_tpu.ops.pallas import runtime as _rt
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -356,7 +358,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                 pltpu.VMEM((td_ + 2, th_ + 2, z, wp), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-            interpret=interpret,
+            interpret=interpret or _rt.force_interpret(),
         )(x, k3p, scale2, offset2)
         out = out[:d_out, :h_out]
         return out if keep_wpad else out[:, :, :, :w_out]
@@ -409,7 +411,7 @@ def conv3d_bn_relu(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             pltpu.VMEM((2, 3, stride * th + 2, 3 * ci, wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        interpret=interpret,
+        interpret=interpret or _rt.force_interpret(),
     )(x3, k9, scale2, offset2)
     out = out[:, :h_out]
     return out if keep_wpad else out[:, :, :, :w_out]

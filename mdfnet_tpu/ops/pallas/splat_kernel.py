@@ -42,6 +42,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from mdfnet_tpu.ops.pallas import runtime as _rt
 from jax.experimental.pallas import tpu as pltpu
 
 RB = 8  # output rows per tile
@@ -239,7 +241,7 @@ def pallas_splat_2d(g: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, tile, RB * c), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or _rt.force_interpret(),
     )(bidx, rb0_flat, xs0_flat, ys_flat, x0_flat, g_t, xy)
 
     # out[tile, t, j*C+c] = d_img[b, ys0+j, x'0+t, c]

@@ -26,6 +26,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from mdfnet_tpu.ops.pallas import runtime as _rt
 from jax.experimental.pallas import tpu as pltpu
 
 from mdfnet_tpu import geometry
@@ -220,7 +222,7 @@ def pallas_sample_2d_multi(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((steps, TG, c, tile), image.dtype),
-            interpret=interpret,
+            interpret=interpret or _rt.force_interpret(),
         )(seg_sidx, seg_xst, seg_yst, seg_xs, seg_ys, img_t)
 
     # the scalar-prefetch arrays live in SMEM for the whole call; segment the

@@ -153,6 +153,26 @@ def resize_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def resize_bilinear_2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample with torch align_corners=True semantics
+    (F.interpolate(scale_factor=2, mode='bilinear', align_corners=True),
+    used by the reference's RefineNet v1, net/unit/refine.py:89): output
+    pixel i samples input at i*(N-1)/(2N-1) — corners map to corners, so
+    the tap weights vary per output pixel (not a fixed stencil)."""
+    def upsample_last(v):
+        n = v.shape[-1]
+        if n == 1:
+            return jnp.repeat(v, 2, axis=-1)
+        pos = jnp.arange(2 * n, dtype=jnp.float32) * ((n - 1) / (2 * n - 1))
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        f = (pos - i0.astype(jnp.float32)).astype(v.dtype)
+        return jnp.take(v, i0, axis=-1) * (1 - f) + jnp.take(v, i1, axis=-1) * f
+
+    x = upsample_last(x)
+    return upsample_last(x.swapaxes(-1, -2)).swapaxes(-1, -2)
+
+
 def resize_bicubic_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x bicubic upsample matching torch (align_corners=False, a=-0.75).
 

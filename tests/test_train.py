@@ -247,11 +247,58 @@ def test_loss_psum_matches_global_masked_mean(small_setup):
     np.testing.assert_allclose(got, expected, rtol=1e-6)
 
 
+def test_shard_map_gradients_match_single_device(small_setup):
+    """Raw REDUCED gradients from the shard_map collective pattern must equal
+    the single-device gradients (ADVICE r3: the post-Adam comparison below is
+    scale-invariant, so only this raw check catches a missing/extra psum
+    factor — psum(grads) instead of pmean over-counts by exactly 8x here)."""
+    from jax.sharding import PartitionSpec as P
+    from mdfnet_tpu.models.loss import multi_scale_depth_loss
+
+    batch, cfg, model, _ = small_setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:1]] * 8, axis=0), batch)
+    _, state = create_train_state(jax.random.PRNGKey(1), SMALL, batch8)
+
+    def loss_fn(params, b, axis_name=None):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            b["imgs"], b["extrinsics"], b["intrinsics"], b["depth_range"],
+            train=True, mutable=["batch_stats"])
+        return multi_scale_depth_loss(out["depth"], b["ref_depths"],
+                                      b["depth_range"], axis_name=axis_name)
+
+    grads_single = jax.jit(jax.grad(loss_fn))(state.params, batch8)
+
+    mesh = make_mesh(data=8)
+
+    def shard_grads(params, b):
+        g = jax.grad(loss_fn)(params, b, "data")
+        return jax.lax.pmean(g, "data")  # the train_lib.shard_step reduction
+
+    fn = jax.shard_map(shard_grads, mesh=mesh, in_specs=(P(), P("data")),
+                       out_specs=P(), check_vma=False)
+    grads_dp = jax.jit(fn)(state.params, shard_batch(mesh, batch8))
+
+    a = np.concatenate([np.asarray(g).ravel() for g in
+                        jax.tree_util.tree_leaves(grads_single)])
+    b = np.concatenate([np.asarray(g).ravel() for g in
+                        jax.tree_util.tree_leaves(grads_dp)])
+    # identical shards -> identical math up to reduction order; in particular
+    # any constant-scale error (the 8x psum over-count) fails the norm check
+    np.testing.assert_allclose(np.linalg.norm(b), np.linalg.norm(a), rtol=1e-3)
+    np.testing.assert_allclose(a, b, atol=2e-2 * np.abs(a).max())
+
+
 def test_shard_map_step_matches_single_device(small_setup):
     """The shard_map DP train step (the path that carries the Pallas train
     kernels onto a mesh) must reproduce the single-device step: identical
     items per shard -> per-shard BN stats equal global stats, psum'd loss
-    and grads equal the global ones."""
+    and pmean'd grads equal the global ones. (Raw-gradient scale is pinned by
+    test_shard_map_gradients_match_single_device — the update-direction
+    checks here are scale-invariant.)"""
     batch, cfg, model, _ = small_setup
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
 
