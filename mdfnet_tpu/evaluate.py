@@ -97,6 +97,7 @@ def run_eval(model, variables, dataset, output_dir: str,
 
     fallback_step = None
     n_views = 0
+    n_fallbacks = 0
     device_time = 0.0
     wall_start = None
     for i, batch in enumerate(loader):
@@ -107,6 +108,7 @@ def run_eval(model, variables, dataset, output_dir: str,
                 jnp.asarray(batch["depth_range"]))
         out = eval_step(*args)
         if not bool(np.asarray(out.get("coverage_ok", True))):
+            n_fallbacks += 1
             # a fast-warp window contract was violated (pathological
             # camera/depth-range) — this item's volume may be inexact.
             # Re-run it on the guaranteed-exact gather warp.
@@ -146,4 +148,10 @@ def run_eval(model, variables, dataset, output_dir: str,
             # back-compat aliases (device-side, as bench.py measures)
             "sec_per_view": dev_spv,
             "views_per_sec": (n_views / device_time) if device_time else 0.0,
-            "n_views": n_views}
+            "n_views": n_views,
+            # coverage-fallback accounting (VERDICT r3 item 9): each trip
+            # costs a second full forward on the gather path, so the
+            # effective throughput degrades by ~ (1 + trip_rate * r) where
+            # r = gather_time/fast_time; real-dataset runs surface it here
+            "n_coverage_fallbacks": n_fallbacks,
+            "coverage_fallback_rate": n_fallbacks / max(len(loader), 1)}

@@ -62,8 +62,12 @@ class FPN4Scales(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, vgroups: int = 1):
+        from mdfnet_tpu.parallel import halo
         c0, c1, c2, c3 = self.out_chs
-        if self.pallas_eval and not train:
+        if self.pallas_eval and not train and halo.current_ctx() is None:
+            # spatial sharding falls through to the XLA path (NHWC, halo
+            # exchanges via ConvND) — the chain-fused trunk kernels have no
+            # band-halo handling; CoreNet detects the layout via the ctx
             return self._hcw_path(x)
 
         # bottom-up. ``vgroups`` > 1 (train): x stacks that many views

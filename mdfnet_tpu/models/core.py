@@ -146,7 +146,14 @@ class CoreNet(nn.Module):
             stacked = imgs.reshape((b * nviews,) + imgs.shape[2:])
             fs = backbone(stacked, train)  # (y4, y3, y2) each (B*V, ...)
             fused = self.warp_impl == "fused"
-            if self.pallas_conv and not fused:
+            from mdfnet_tpu.parallel import halo as _halo
+            sp_ctx = _halo.current_ctx() is not None
+            if sp_ctx:
+                # spatial sharding: the backbone fell through to its XLA
+                # NHWC path, so no hcw transposes apply (the U-Nets still
+                # ride the Pallas convs band-locally via their halo hooks)
+                fused = False
+            if self.pallas_conv and not fused and not sp_ctx:
                 # Pallas backbone returns (N, H, C, W); the non-fused
                 # aggregation paths consume NHWC — transpose once on the
                 # stacked tensors

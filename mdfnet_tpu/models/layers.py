@@ -415,8 +415,16 @@ class ConvBNReLU3D(nn.Module):
         parameter/stat structure as the ConvND+BatchNorm path.
 
         ``dhcw``: input/output are (B, D, H, C, W) — no per-layer transposes
-        (the whole U-Net runs in the kernel's native layout)."""
+        (the whole U-Net runs in the kernel's native layout).
+
+        Spatial sharding (halo ctx active): the H band is extended with
+        neighbour rows — 1/1 for stride 1, 2/1 for stride 2 (output row k
+        reads global rows 2k-1..2k+1; with the band shifted 2 rows up,
+        kernel row k+1 reads exactly them) — the kernel runs band-local,
+        and the rows its own zero padding corrupts are sliced off. Edge
+        devices' zero fill reproduces the global conv's zero padding."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_bn_relu
+        from mdfnet_tpu.parallel import halo
         ci = x.shape[3] if dhcw else x.shape[-1]
         b = x.shape[0]
         co = self.features
@@ -427,6 +435,14 @@ class ConvBNReLU3D(nn.Module):
             var.astype(jnp.float32) + 1e-5)
         foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
 
+        ctx = halo.current_ctx()
+        band_out = None
+        if ctx is not None:
+            band_out = x.shape[2] // stride
+            x = halo.halo_exchange(x, h_axis=2,
+                                   lo=(1 if stride == 1 else 2), hi=1,
+                                   edge="zero")
+
         dtype = self.dtype or x.dtype
         outs = []
         for bi in range(b):  # eval runs B=1
@@ -434,6 +450,8 @@ class ConvBNReLU3D(nn.Module):
                   else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
             y = conv3d_bn_relu(xi, kernel, fscale, foffset, stride=stride,
                                valid_w=valid_w, keep_wpad=keep_wpad)
+            if ctx is not None:
+                y = jax.lax.slice_in_dim(y, 1, 1 + band_out, axis=1)
             outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 
@@ -568,8 +586,15 @@ class TrConvBNReLU3D(nn.Module):
 
     def _pallas_path(self, x, dhcw: bool = False, valid_w=None,
                      keep_wpad=False):
-        """Eval: phase-decomposed fused transposed conv (same param paths)."""
+        """Eval: phase-decomposed fused transposed conv (same param paths).
+
+        Spatial sharding: fine row 2u+1 reads coarse rows u, u+1 (the phase
+        decomposition's +1 tap), so ONE below-neighbour halo row suffices;
+        the doubled halo rows are sliced off after the interleave. Edge
+        devices' zero fill reproduces the transposed conv's tail (missing
+        inputs contribute zero)."""
         from mdfnet_tpu.ops.pallas.conv3d_kernel import trconv3d_bn_relu
+        from mdfnet_tpu.parallel import halo
         ci = x.shape[3] if dhcw else x.shape[-1]
         b = x.shape[0]
         co = self.features
@@ -579,6 +604,12 @@ class TrConvBNReLU3D(nn.Module):
             var.astype(jnp.float32) + 1e-5)
         foffset = bias.astype(jnp.float32) - mean.astype(jnp.float32) * fscale
 
+        ctx = halo.current_ctx()
+        band_out = None
+        if ctx is not None:
+            band_out = 2 * x.shape[2]
+            x = halo.halo_exchange(x, h_axis=2, lo=0, hi=1, edge="zero")
+
         dtype = self.dtype or x.dtype
         outs = []
         for bi in range(b):
@@ -586,6 +617,8 @@ class TrConvBNReLU3D(nn.Module):
                   else jnp.transpose(x[bi], (0, 1, 3, 2))).astype(dtype)
             y = trconv3d_bn_relu(xi, kernel, fscale, foffset,
                                  valid_w=valid_w, keep_wpad=keep_wpad)
+            if ctx is not None:
+                y = jax.lax.slice_in_dim(y, 0, band_out, axis=1)
             outs.append(y if dhcw else jnp.transpose(y, (0, 1, 3, 2)))
         return jnp.stack(outs)
 

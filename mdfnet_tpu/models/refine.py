@@ -52,7 +52,10 @@ class RefineNet2(nn.Module):
         Returns:
             (B, H, W) refined full-res depth.
         """
-        if self.pallas_eval and not train:
+        from mdfnet_tpu.parallel import halo
+        if self.pallas_eval and not train and halo.current_ctx() is None:
+            # spatial sharding: XLA path (ConvND exchanges halos; the
+            # PixelShuffle is row-local so the band boundary is exact)
             return self._hcw_path(depth, depth_range, valid_w)
 
         depth = jax.lax.stop_gradient(depth)[..., None]  # (B, H/2, W/2, 1)

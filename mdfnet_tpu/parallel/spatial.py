@@ -51,8 +51,14 @@ def spatial_eval_forward(model, variables, mesh: Mesh, imgs, extrinsics,
     n = mesh.shape[axis]
     b, v, h, w, c = imgs.shape
     assert h % (n * ALIGN) == 0, f"H={h} must divide {n}*{ALIGN}"
-    assert not getattr(model, "pallas_conv", False), (
-        "spatial sharding runs the XLA conv path (pallas_conv=False)")
+    # pallas_conv=True IS supported (round 4): the 3D U-Net convs run the
+    # fused Pallas kernels band-locally — each band gets its true halo rows
+    # (layers.ConvBNReLU3D/TrConvBNReLU3D _pallas_path) — while the backbone
+    # and refine fall through to their halo-aware XLA paths. Only the fused
+    # rowsweep aggregation has no band mode (its warp needs global rows).
+    assert getattr(model, "warp_impl", "dense") != "fused", (
+        "spatial sharding: use warp_impl dense/pallas/gather (the fused "
+        "rowsweep kernel has no band-local mode)")
     band = h // n
 
     def band_forward(band_imgs, extr, intr, drange):

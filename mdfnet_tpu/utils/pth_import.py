@@ -168,6 +168,88 @@ def state_dict_to_variables(state_dict: Dict[str, np.ndarray]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# export: flax variables -> reference state_dict (the inverse map)
+# ---------------------------------------------------------------------------
+
+def _get(tree: dict, path: str) -> np.ndarray:
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def _conv_weight_inv(w: np.ndarray) -> np.ndarray:
+    """(*k, I, O) -> torch (O, I, *k). Inverse of _conv_weight."""
+    nd = w.ndim
+    return np.transpose(w, (nd - 1, nd - 2) + tuple(range(nd - 2)))
+
+
+def _trconv_weight_inv(w: np.ndarray) -> np.ndarray:
+    """(*k, O, I) -> torch ConvTranspose (I, O, *k). Inverse of _trconv_weight."""
+    nd = w.ndim
+    return np.transpose(w, (nd - 1, nd - 2) + tuple(range(nd - 2)))
+
+
+def variables_to_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
+    """Convert flax variables back to a reference CoreNet state_dict.
+
+    Exact inverse of :func:`state_dict_to_variables` (round-trip pinned by
+    tests/test_pth_roundtrip.py): layout conversions are their own inverses
+    (transposes), and every BatchNorm gets the ``num_batches_tracked``
+    counter torch includes in its state_dict (int64 zero — the reference
+    never consumes it). Lets anyone with the upstream checkpoints verify
+    bit-parity in one command, and lets models trained here run in the
+    reference (reference train.py:59-68 checkpoint schema).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def to_np(a):
+        return np.asarray(a, dtype=np.float32)
+
+    def export_conv(flax_path, ref_prefix):
+        sd[f"{ref_prefix}.weight"] = _conv_weight_inv(to_np(_get(params, f"{flax_path}/kernel")))
+        try:
+            sd[f"{ref_prefix}.bias"] = to_np(_get(params, f"{flax_path}/bias"))
+        except KeyError:
+            pass
+
+    def export_bn(flax_path, ref_prefix):
+        sd[f"{ref_prefix}.weight"] = to_np(_get(params, f"{flax_path}/scale"))
+        sd[f"{ref_prefix}.bias"] = to_np(_get(params, f"{flax_path}/bias"))
+        sd[f"{ref_prefix}.running_mean"] = to_np(_get(stats, f"{flax_path}/mean"))
+        sd[f"{ref_prefix}.running_var"] = to_np(_get(stats, f"{flax_path}/var"))
+        sd[f"{ref_prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    for flax_path, spec in _module_map().items():
+        kind = spec[0]
+        if kind == "conv":
+            export_conv(flax_path, spec[1])
+        elif kind == "bn":
+            export_bn(flax_path, spec[1])
+        elif kind in ("cbr2d", "cbr3d"):
+            export_conv(f"{flax_path}/conv", f"{spec[1]}.conv")
+            export_bn(f"{flax_path}/bn", f"{spec[1]}.bn")
+        elif kind == "trcbr3d":
+            prefix, conv_idx = spec[1], spec[2]
+            w = to_np(_get(params, f"{flax_path}/conv/kernel"))
+            sd[f"{prefix}.{conv_idx}.weight"] = _trconv_weight_inv(w)
+            export_bn(f"{flax_path}/bn", f"{prefix}.{conv_idx + 1}")
+        else:
+            raise ValueError(f"unknown kind {kind}")
+    return sd
+
+
+def save_reference_checkpoint(path: str, variables: Dict, epoch: int) -> None:
+    """Write a reference-schema .pth ({'epoch', 'model'}, train.py:59-68)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in variables_to_state_dict(variables).items()}
+    torch.save({"epoch": int(epoch), "model": sd}, path)
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict, int]:
     """Load a reference .pth file -> (flax variables, epoch)."""
     import torch
