@@ -74,11 +74,28 @@ class FPN4Scales(nn.Module):
         # view-major along the batch axis and BatchNorm statistics are
         # computed per view — exactly equivalent to the reference's per-view
         # backbone calls (net/core.py:42) but with every conv batched 5x.
-        def cbr(name, feats, ks, stride, inp):
-            return ConvBNReLU(feats, ks, stride, dtype=self.dtype,
-                              name=name)(inp, train, vgroups=vgroups)
+        # With pallas_eval in TRAIN mode the trunk rides the custom-VJP
+        # Pallas conv2d kernels in (N, H, C, W) layout (ops/pallas/
+        # conv2d_vjp.py); the small top-down tail below stays XLA/NHWC.
+        use_pallas_train = self.pallas_eval and train
 
-        x = cbr("conv01_0", c0, 3, 1, x)
+        def cbr(name, feats, ks, stride, inp, in_ch=None):
+            return ConvBNReLU(feats, ks, stride, dtype=self.dtype,
+                              name=name)(inp, train, hcw=use_pallas_train,
+                                         vgroups=vgroups, in_ch=in_ch)
+
+        if use_pallas_train:
+            dtype = self.dtype or x.dtype
+            align = 4 if dtype == jnp.bfloat16 else 8
+            logical_ci = x.shape[-1]
+            x = jnp.transpose(x, (0, 1, 3, 2)).astype(dtype)  # (N, H, C, W)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, align - x.shape[2]),
+                            (0, 0)))
+            first_in = logical_ci
+        else:
+            first_in = None
+
+        x = cbr("conv01_0", c0, 3, 1, x, in_ch=first_in)
         x = cbr("conv01_1", c0, 3, 1, x)
         x = cbr("conv12_0", c1, 5, 2, x)
         x = cbr("conv12_1", c1, 3, 1, x)
@@ -89,6 +106,12 @@ class FPN4Scales(nn.Module):
         x = cbr("conv34_0", c3, 5, 2, x3)
         x = cbr("conv34_1", c3, 3, 1, x)
         x4 = cbr("conv34_2", c3, 3, 1, x)
+
+        if use_pallas_train:
+            # top-down tail consumes NHWC (lat/out 1x1 convs + bilinear
+            # upsamples — small tensors at 1/8..1/2 res)
+            x2, x3, x4 = (jnp.transpose(t, (0, 1, 3, 2))
+                          for t in (x2, x3, x4))
 
         # top-down (bilinear 2x is a fixed stencil, see ops/sample.py)
         def up2(v):  # NHWC -> upsample H, W

@@ -194,9 +194,10 @@ class BatchNorm(nn.Module):
     def __call__(self, x, train: bool, vgroups: int = 1,
                  dhcw: bool = False):
         if dhcw:
-            # channel axis is -2 ((B, D, H, C, W) Pallas-layout volumes):
-            # statistics over all other axes, computed in f32 like below
-            assert self.fold == 1 and vgroups == 1
+            # channel axis is -2 ((B, D, H, C, W) Pallas-layout volumes and
+            # (N, H, C, W) hcw feature maps): statistics over all other
+            # axes, computed in f32 like below
+            assert self.fold == 1
             ch = x.shape[-2]
             scale = self.param("scale", nn.initializers.ones, (ch,))
             bias = self.param("bias", nn.initializers.zeros, (ch,))
@@ -205,6 +206,32 @@ class BatchNorm(nn.Module):
             ra_var = self.variable("batch_stats", "var",
                                    lambda: jnp.ones((ch,), jnp.float32))
             xf = x.astype(jnp.float32)
+            if train and vgroups > 1:
+                # per-view statistics on a view-major stacked batch — the
+                # channel-last branch below, transplanted to axis -2 (see
+                # its sequential-EMA derivation)
+                assert x.shape[0] % vgroups == 0
+                vb = x.shape[0] // vgroups
+                xs = xf.reshape((vgroups, vb) + xf.shape[1:])
+                axes = tuple(a for a in range(1, xs.ndim) if a != xs.ndim - 2)
+                mean_v = jnp.mean(xs, axis=axes)               # (V, ch)
+                var_v = jnp.var(xs, axis=axes)
+                if not self.is_initializing():
+                    m = self.momentum
+                    n = x.size // (ch * vgroups)
+                    unb_v = var_v * (n / max(n - 1, 1))
+                    w = m * (1.0 - m) ** jnp.arange(vgroups - 1, -1, -1,
+                                                    dtype=jnp.float32)
+                    ra_mean.value = ((1.0 - m) ** vgroups * ra_mean.value
+                                     + w @ mean_v)
+                    ra_var.value = ((1.0 - m) ** vgroups * ra_var.value
+                                    + w @ unb_v)
+                bshape = (vgroups,) + (1,) * (xs.ndim - 3) + (ch, 1)
+                inv = jax.lax.rsqrt(var_v.reshape(bshape) + self.epsilon)
+                y = ((xs - mean_v.reshape(bshape)) * inv
+                     * scale.astype(jnp.float32)[:, None]
+                     + bias.astype(jnp.float32)[:, None])
+                return y.reshape(x.shape).astype(x.dtype)
             axes = tuple(a for a in range(x.ndim) if a != x.ndim - 2)
             if train:
                 mean = jnp.mean(xf, axis=axes)
@@ -307,9 +334,28 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, hcw: bool = False,
                  valid_w: int | None = None, keep_wpad: bool = False,
-                 vgroups: int = 1):
+                 vgroups: int = 1, in_ch: int | None = None):
+        if hcw and train:
+            # train fast path (mirrors ConvBNReLU3D's): custom-VJP Pallas
+            # conv (ops/pallas/conv2d_vjp.py) + batch-stat BN/ReLU in XLA
+            # on the compact (N, H, C, W) layout. ``in_ch``: logical input
+            # channels when x carries zero-padded alignment channels (the
+            # kernel keeps its true (k, k, in_ch, Co) checkpoint shape and
+            # grows zero rows to match).
+            from mdfnet_tpu.ops.pallas.conv2d_vjp import conv2d_train
+            ci = in_ch or x.shape[2]
+            ks = self.kernel_size
+            kernel = _ConvKernelParam((ks, ks, ci, self.features),
+                                      ci * ks * ks, name="conv")()
+            if ci != x.shape[2]:
+                kernel = jnp.pad(kernel, ((0, 0), (0, 0),
+                                          (0, x.shape[2] - ci), (0, 0)))
+            dtype = self.dtype or x.dtype
+            y = conv2d_train(x.astype(dtype), kernel.astype(dtype),
+                             self.strides)
+            y = BatchNorm(name="bn")(y, train, vgroups, dhcw=True)
+            return nn.relu(y)
         if hcw:
-            assert not train, "hcw fast path is eval-only"
             return self._hcw_path(x, valid_w, keep_wpad)
         x = ConvND(self.features, (self.kernel_size,) * 2, self.strides,
                    (self.kernel_size - 1) // 2, use_bias=False, dtype=self.dtype,

@@ -57,6 +57,10 @@ class RefineNet2(nn.Module):
             # spatial sharding: XLA path (ConvND exchanges halos; the
             # PixelShuffle is row-local so the band boundary is exact)
             return self._hcw_path(depth, depth_range, valid_w)
+        if self.pallas_eval and train:
+            # train fast path: the full-res conv stack rides the custom-VJP
+            # Pallas conv2d kernels (ops/pallas/conv2d_vjp.py) in hcw layout
+            return self._hcw_train_path(depth, depth_range)
 
         depth = jax.lax.stop_gradient(depth)[..., None]  # (B, H/2, W/2, 1)
         b = depth.shape[0]
@@ -165,6 +169,44 @@ class RefineNet2(nn.Module):
                            valid_w=2 * w2v)
         out = out[:, :, 0, :].astype(jnp.float32)    # (B, H, W)
         out = dmin[..., 0] + out * (dmax - dmin)[..., 0]
+        return out.astype(depth.dtype)
+
+    def _hcw_train_path(self, depth, depth_range):
+        """Train: same module graph as the XLA path (identical param paths),
+        every conv a custom-VJP Pallas kernel on (B, H, C, W)."""
+        from mdfnet_tpu.ops.pallas.conv2d_vjp import conv2d_train
+        c = self.base_chs
+        dtype = self.dtype or depth.dtype
+        align = 4 if dtype == jnp.bfloat16 else 8
+        depth = jax.lax.stop_gradient(depth)
+        b = depth.shape[0]
+        dmin = depth_range[:, 0].astype(jnp.float32).reshape(b, 1, 1)
+        dmax = depth_range[:, 1].astype(jnp.float32).reshape(b, 1, 1)
+        x = ((depth.astype(jnp.float32) - dmin)
+             / (dmax - dmin)).astype(dtype)[:, :, None, :]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, align - 1), (0, 0)))
+
+        k0 = _ConvKernelParam((3, 3, 1, c), 9, name="conv0")()
+        k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, align - 1), (0, 0)))
+        v = conv2d_train(x, k0.astype(dtype))
+        skip = v
+        for i in range(self.nres):
+            ka, kb = _ResParams(c, name=f"res{i}")()
+            y = nn.relu(conv2d_train(v, ka.astype(dtype)))
+            v = v + 0.1 * conv2d_train(y, kb.astype(dtype))
+        k1 = _ConvKernelParam((3, 3, c, c), c * 9, name="conv1")()
+        v = skip + conv2d_train(v, k1.astype(dtype))
+        k20 = _ConvKernelParam((3, 3, c, 4 * c), c * 9, name="conv2_0")()
+        v = conv2d_train(v, k20.astype(dtype))      # (B, h, 4c, w)
+
+        bb, h2, _, w2 = v.shape
+        v = v.reshape(bb, h2, c, 2, 2, w2)
+        v = v.transpose(0, 1, 3, 2, 5, 4)           # (B, h, dy, C, w, dx)
+        v = v.reshape(bb, 2 * h2, c, 2 * w2)        # (B, H, C, W)
+
+        k21 = _ConvKernelParam((3, 3, c, 1), c * 9, name="conv2_1")()
+        out = conv2d_train(v, k21.astype(dtype))[:, :, 0, :]
+        out = dmin + out.astype(jnp.float32) * (dmax - dmin)
         return out.astype(depth.dtype)
 
 

@@ -288,13 +288,14 @@ def _pick_r_rows(nd: int, c: int, wp: int, h: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
-                                             "interpret"))
+                                             "interpret", "smem_budget"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
                        kb: int = 4, valid_w: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       smem_budget: int = 400_000):
     """Fused warp + aggregate for ONE batch item.
 
     Args:
@@ -329,6 +330,23 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         hypos = depth_hypos
 
     r_rows = _pick_r_rows(nd, c, wp, h)
+    # VMEM fit: the double-buffered window scratch scales with n_src (10 at
+    # the 11-view tanks config) — shrink the row block until everything
+    # fits the 16 MB scoped budget (out/in blocks are double-buffered by
+    # the pallas pipeline, hence the 2x on them)
+    bpe = 2 if diffs.dtype == jnp.bfloat16 else 4
+
+    def vmem_est(r):
+        kp = min(k_win + 2 * r, h)
+        return (2 * n_src * kp * c * wp * bpe          # window
+                + 2 * n_src * nd * r * wp * 4          # cs (coords)
+                + nd * r * c * wp * 4                  # vol accumulator
+                + nd * r * wp * 4 + c * wp * 4         # wsum + blend
+                + 2 * nd * r * c * wp * bpe            # out block (dbuf)
+                + 2 * r * c * wp * bpe)                # q block (dbuf)
+
+    while r_rows > 1 and vmem_est(r_rows) > 13.5e6:
+        r_rows //= 2
     kprime = min(k_win + 2 * r_rows, h)
     hb_count = -(-h // r_rows)
     hpad = hb_count * r_rows
@@ -363,39 +381,59 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     kern = functools.partial(_rowsweep_kernel, n_src=n_src, kprime=kprime,
                              nd=nd, kb=kb, r_rows=r_rows, nb=nb, wvalid=w)
 
-    # (S, Hp, D, Wp) -> (S, HB*R, D, Wp) blocks stream (S, R, D, Wp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(hb_count,),
-        in_specs=[
-            pl.BlockSpec((r_rows, c, wp), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, c), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((nd, r_rows, c, wp),
-                               lambda i, *_: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
-            pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
-            pltpu.VMEM((nd, r_rows, c, wp), jnp.float32),
-            pltpu.VMEM((nd, r_rows, wp), jnp.float32),
-            pltpu.VMEM((c, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_src)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nd, hpad, c, wp), diffs.dtype),
-        interpret=interpret or _rt.force_interpret(),
-    )(wstart, yrel, xblk, q_p, coords, k0_2, scalars, diffs)
+    # Scalar-prefetch arrays live in SMEM (1 MB): at the tanks config
+    # (S=10 srcs, W up to 2048) the full-H plan overflows it, so the H
+    # row-blocks are processed in segments of seg_hb blocks — one
+    # pallas_call per segment, the plan rows sliced per segment (the
+    # window DMAs index the WHOLE diffs array either way). DTU shapes fit
+    # one segment (identical to the unsegmented round-3 kernel).
+    bytes_per_hb = 4 * (n_src + n_src * r_rows * nd * (1 + nb))
+    seg_hb = max(1, min(hb_count, smem_budget // max(bytes_per_hb, 1)))
+
+    def run_segment(s0, nhb):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nhb,),
+            in_specs=[
+                pl.BlockSpec((r_rows, c, wp), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, c), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((nd, r_rows, c, wp),
+                                   lambda i, *_: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
+                pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
+                pltpu.VMEM((nd, r_rows, c, wp), jnp.float32),
+                pltpu.VMEM((nd, r_rows, wp), jnp.float32),
+                pltpu.VMEM((c, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, n_src)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nd, nhb * r_rows, c, wp),
+                                           diffs.dtype),
+            interpret=interpret or _rt.force_interpret(),
+        )(wstart[s0:s0 + nhb], yrel[s0:s0 + nhb], xblk[s0:s0 + nhb],
+          q_p[s0 * r_rows:(s0 + nhb) * r_rows], coords[s0:s0 + nhb],
+          k0_2, scalars, diffs)
+
+    if seg_hb >= hb_count:
+        out = run_segment(0, hb_count)
+    else:
+        outs = []
+        for s0 in range(0, hb_count, seg_hb):
+            outs.append(run_segment(s0, min(seg_hb, hb_count - s0)))
+        out = jnp.concatenate(outs, axis=1)
     return out[:, :h], cover
 
 

@@ -104,3 +104,28 @@ def test_rowsweep_broadcast_hypos(rng):
     out_bdhwc = jnp.transpose(out[:, :, :, :w], (0, 1, 3, 2))[None]
     np.testing.assert_allclose(np.asarray(out_bdhwc), np.asarray(ref_vol),
                                atol=2e-3, rtol=2e-2)
+
+
+def test_rowsweep_segmented_matches_unsegmented(rng):
+    """SMEM segmentation (round 4, for the 11-view tanks config whose plan
+    arrays overflow the 1 MB scalar memory): a tiny smem_budget forces
+    multiple per-segment kernel launches, which must reproduce the
+    single-launch volume bit-for-bit."""
+    b, v, h, w, c = 1, 4, 24, 40, 16
+    g = c // 2
+    feats, ref_proj, src_projs = _scene(rng, b, v, h, w, c)
+    hypos = jnp.broadcast_to(
+        jnp.linspace(420.0, 700.0, 8)[None, :, None, None],
+        (b, 8, h, w)).astype(jnp.float32)
+
+    diffs = [f[0, :, :, 0::2] - f[0, :, :, 1::2] for f in feats]
+    diffs_hcw = jnp.stack([jnp.transpose(d, (0, 2, 1)) for d in diffs])
+    q = jax.nn.sigmoid(diffs_hcw[0])
+    k0 = jnp.asarray(rng.randn(g).astype(np.float32) * 0.1)
+
+    args = (diffs_hcw[1:], q, src_projs[0], ref_proj[0], hypos[0],
+            k0, 1.0, 0.0, 1.0, 0.0)
+    out1, c1 = rowsweep_aggregate(*args, interpret=True)
+    out2, c2 = rowsweep_aggregate(*args, interpret=True, smem_budget=1)
+    assert bool(c1) == bool(c2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
