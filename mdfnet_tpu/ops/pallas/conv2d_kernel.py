@@ -720,6 +720,12 @@ def conv2d_chain_fused(x: jnp.ndarray, kernels, scales, offsets, *,
     n_hb = -(-h_out // r_fold)
     wp = -(-vw // 128) * 128
     wpo = -(-w_out_t // 128) * 128 if final_stride == 2 else wp
+    if w_in > wp:
+        # producer kept a wider lane extent (the rowsweep kernel's 256-col
+        # x-window floor exceeds the natural alignment at small scenes);
+        # pad columns are zeros, so slicing is exact (mirrors conv3d)
+        x = x[..., :wp]
+        w_in = wp
     assert w_in in (vw, wp), (w_in, vw)
     if w_in != wp:
         # unaligned true-width input: one host-side lane pad (aligned DMA)
