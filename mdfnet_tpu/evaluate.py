@@ -152,6 +152,8 @@ def run_eval(model, variables, dataset, output_dir: str,
             # coverage-fallback accounting (VERDICT r3 item 9): each trip
             # costs a second full forward on the gather path, so the
             # effective throughput degrades by ~ (1 + trip_rate * r) where
-            # r = gather_time/fast_time; real-dataset runs surface it here
+            # r = gather_time/fast_time. Normalized PER VIEW (one trip
+            # re-runs one batch; eval runs batch_size=1, so trip == view)
+            # to stay consistent with views_per_sec above.
             "n_coverage_fallbacks": n_fallbacks,
-            "coverage_fallback_rate": n_fallbacks / max(len(loader), 1)}
+            "coverage_fallback_rate": n_fallbacks / max(n_views, 1)}

@@ -49,13 +49,29 @@ class _ScalarFieldBN(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool, fold_params: bool = False):
+    def __call__(self, x, train: bool, fold_params: bool = False,
+                 raw_params: bool = False, stats_update=None):
         scale = self.param("scale", nn.initializers.ones, (1,))
         bias = self.param("bias", nn.initializers.zeros, (1,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((1,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((1,), jnp.float32))
+        if raw_params:
+            return scale, bias
+        if stats_update is not None:
+            # train-mode fused path: the per-view batch statistics were
+            # computed by the stats kernel; replay the dense path's V
+            # SEQUENTIAL momentum updates in view order (identical EMA)
+            means, uvars = stats_update
+            m, vv = ra_mean.value, ra_var.value
+            for i in range(means.shape[0]):
+                m = (1 - self.momentum) * m + self.momentum * means[i]
+                vv = (1 - self.momentum) * vv + self.momentum * uvars[i]
+            if not self.is_initializing():
+                ra_mean.value = m
+                ra_var.value = vv
+            return None
         if fold_params:
             # eval-only: return the equivalent affine (scale, offset) for
             # fused kernels instead of applying the normalisation
@@ -99,13 +115,26 @@ class DepthWeight(nn.Module):
 
     @nn.compact
     def __call__(self, volume, train: bool = False,
-                 fold_params: bool = False):
+                 fold_params: bool = False, raw_params: bool = False,
+                 stats_update=None):
         g = self.ngroups if volume is None else volume.shape[-1]
         dtype = self.dtype or (jnp.float32 if volume is None
                                else volume.dtype)
         k0, _ = _ConvKernel((1, 1, 1, g, 1), g, False, name="conv0")()
         k1, b1 = _ConvKernel((1, 1, 1, 1, 1), 1, True, name="conv1")()
 
+        if raw_params:
+            # train-mode fused path: the raw learnables for the custom-VJP
+            # fused aggregate (BN affine stays UNfolded — train-mode
+            # folding needs the batch stats the fused kernels compute)
+            gamma, bbeta = _ScalarFieldBN(name="bn0")(None, train,
+                                                      raw_params=True)
+            return (k0[0, 0, 0, :, 0], gamma[0], bbeta[0],
+                    k1[0, 0, 0, 0, 0], b1[0])
+        if stats_update is not None:
+            _ScalarFieldBN(name="bn0")(None, train,
+                                       stats_update=stats_update)
+            return None
         if fold_params:
             # eval-only folded parameters for the fused rowsweep kernel:
             # (k0 channel weights, BN affine, conv1 scalar weight/bias)
@@ -170,11 +199,35 @@ class VectorAggregate(nn.Module):
         weight_net = DepthWeight(dtype=self.dtype, name="depth_weight",
                                  ngroups=g)
         impl = self.warp_impl
+        if train and impl == "fused" and spatial_ctx is None \
+                and ref_feat.shape[-1] == 2 * g:
+            # train-mode fused path (round 5): forward = the rowsweep
+            # kernel family (stats pass for the train-BN batch statistics,
+            # then the per-view-affine aggregation pass); backward = the
+            # custom VJP in ops/pallas/aggregate_vjp.py (splat-adjoint
+            # warp + closed-form BN/similarity chain). Matches the dense
+            # path's math including the sequential BN running-stat EMA.
+            from mdfnet_tpu.ops.pallas.aggregate_vjp import (
+                rowsweep_aggregate_train)
+            ref_diff = ref_feat[..., 0::2] - ref_feat[..., 1::2]
+            qv = nn.sigmoid(ref_diff)                       # (B, H, W, G)
+            diffs_hcw = jnp.stack(
+                [jnp.transpose(sf[..., 0::2] - sf[..., 1::2], (0, 1, 3, 2))
+                 for sf in src_feats], axis=1)              # (B, S, H, G, W)
+            q_hcw = jnp.transpose(qv, (0, 1, 3, 2))
+            k0v, gam, bet, k1v, b1v = weight_net(None, train=True,
+                                                 raw_params=True)
+            vol, stats, _cover = rowsweep_aggregate_train(
+                diffs_hcw, q_hcw, src_projs, ref_proj, depth_hypos,
+                k0v, gam, bet, k1v, b1v)
+            weight_net(None, train=True,
+                       stats_update=(stats[:, 0], stats[:, 1]))
+            return vol
         if train and impl == "fused":
-            # the fused rowsweep kernel has no autodiff rule; the dense path
-            # computes the identical warp with full differentiability.
-            # "pallas" is train-safe: homography_warp_pallas carries a
-            # custom VJP (scatter-free splat, ops/splat.py) for d(src_feat).
+            # non-C/G==2 unit mixes: the dense path computes the identical
+            # warp with full differentiability. "pallas" is train-safe:
+            # homography_warp_pallas carries a custom VJP (scatter-free
+            # splat, ops/splat.py) for d(src_feat).
             impl = "dense"
         if spatial_ctx is not None:
             # spatial sharding: warp sources are all-gathered below and the

@@ -90,7 +90,12 @@ class CoreNet(nn.Module):
                        if use_remat else FPN4Scales)
         AggBase = (VectorAggregate if self.aggregate_impl == "vector"
                    else VarianceAggregate)
-        AggregateCls = (nn.remat(AggBase, static_argnums=(5, 6))
+        # static_argnums must match each signature: VectorAggregate takes
+        # (self, features, ref_proj, src_projs, depth_hypos, train,
+        # pair_diffs, ...) -> statics (5, 6); VarianceAggregate has no
+        # pair_diffs arg, so only train (5) is static.
+        agg_statics = (5, 6) if self.aggregate_impl == "vector" else (5,)
+        AggregateCls = (nn.remat(AggBase, static_argnums=agg_statics)
                         if use_remat else AggBase)
         Reg3Cls = (nn.remat(RegularNet3Scales, static_argnums=(2, 3))
                    if use_remat else RegularNet3Scales)

@@ -271,6 +271,13 @@ class RegularNet3Scales(nn.Module):
                                   pallas_eval=True, name=name)(
                 inp, False, dhcw=True, valid_w=vwl, keep_wpad=True)
 
+        # NOTE round 5: the stride-1 pairs were fused into single VMEM-
+        # intermediate launches (ops/pallas/conv3d_kernel.py
+        # conv3d_pair_bn_relu, parity-pinned in tests/test_pallas_kernels)
+        # and measured NEGATIVE on chip: 56.5 -> 57.5 ms/map at the DTU
+        # config. The 2-halo tap rebuild (VPU-bound) costs more than the
+        # saved mid-volume HBM round-trip (~0.3 ms upper bound across all
+        # three pairs). Kernel + tests kept; wiring reverted (BENCH.md).
         v = conv("conv01_0", c0, 1, x, vw)
         skip0 = conv("conv01_1", c0, 1, v, vw)
         v = conv("conv12_0", c1, 2, skip0, vw)

@@ -55,12 +55,23 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
                      q_ref,             # (R, C, Wp) block @ row-block
                      coords_ref,        # (2, S, D, Hp, Wp) ANY/HBM: xrel, ys
                      k0_ref,            # (1, C) f32
-                     sc_ref,            # (1, 128) f32 [bn_s, bn_o, k1, b1]
+                     sc_ref,            # (S, 128) f32 [bn_s, bn_o, k1, b1]
+                                        # per src (rows identical at eval;
+                                        # train-mode BN is per-view)
                      diffs_ref,         # (S, H, C, W) ANY/HBM — unpadded
-                     out_ref,           # (D, R, C, Wp) block @ row-block
-                     window, cs, vol, wsum, blend_buf, sems, csems,
-                     *, n_src: int, kprime: int, nd: int, kb: int,
-                     r_rows: int, nb: int, wvalid: int = 0):
+                     *out_and_scratch,  # out_ref [+ wsum_ref], then scratch
+                     n_src: int, kprime: int, nd: int, kb: int,
+                     r_rows: int, nb: int, wvalid: int = 0,
+                     with_wsum: bool = False):
+    if with_wsum:
+        # train mode also emits the weight sum (D, R, Wp): the custom VJP
+        # needs W = sum_v w_v per pixel and recomputing it would double
+        # the backward's warp recompute passes
+        (out_ref, wsum_out,
+         window, cs, vol, wsum, blend_buf, sems, csems) = out_and_scratch
+    else:
+        (out_ref,
+         window, cs, vol, wsum, blend_buf, sems, csems) = out_and_scratch
     hb = pl.program_id(0)
     nhb = pl.num_programs(0)
     wp = blend_buf.shape[-1]
@@ -105,12 +116,12 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
     biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
         .astype(jnp.float32)
     k0 = k0_ref[0]                                # (C,) f32
-    bn_s = sc_ref[0, 0]
-    bn_o = sc_ref[0, 1]
     k1 = sc_ref[0, 2]
     b1 = sc_ref[0, 3]
 
     for s in range(n_src):
+        bn_s = sc_ref[s, 0]
+        bn_o = sc_ref[s, 1]
         dma(hb % 2, hb, s).wait()
         w0 = wstart_ref[hb, s].astype(jnp.float32)
         for r in range(r_rows):
@@ -164,6 +175,114 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
         mi = jax.lax.broadcasted_iota(jnp.int32, res.shape, 3)
         res = res * (mi < wvalid).astype(res.dtype)
     out_ref[...] = res.astype(out_ref.dtype)
+    if with_wsum:
+        wsum_out[...] = wsum[...].astype(wsum_out.dtype)
+
+
+def _rowsweep_stats_kernel(wstart_ref,  # scalar prefetch (HB, S) i32
+                           yrel_ref,    # scalar prefetch (HB, S*R*D) i32
+                           xblk_ref,    # scalar prefetch (HB, S*R*D*NB) i32
+                           q_ref,       # (R, C, Wp) block @ row-block
+                           coords_ref,  # (HB, 2, S, D, R, Wp) ANY/HBM
+                           k0_ref,      # (1, C) f32
+                           diffs_ref,   # (S, H, C, Wp) ANY/HBM
+                           out_ref,     # (S, 128) f32 — [s,0]=sum s,
+                                        # [s,1]=sum s^2 (accumulated)
+                           window, cs, blend_buf, sems, csems,
+                           *, n_src: int, kprime: int, nd: int, kb: int,
+                           r_rows: int, nb: int, wvalid: int, h_true: int,
+                           row0: int = 0):
+    """Per-view batch statistics of the PRE-BN DepthWeight scalar field
+    s = k0 . sim over the (D, H, W) volume — pass 1 of the train-mode fused
+    aggregate (train BN normalises with batch stats, so the aggregation
+    pass needs them first). Same warp/interp/similarity code path as
+    _rowsweep_kernel; accumulates two scalars per src instead of the
+    volume."""
+    hb = pl.program_id(0)
+    nhb = pl.num_programs(0)
+    wp = blend_buf.shape[-1]
+
+    def dma(slot, hh, s):
+        return pltpu.make_async_copy(
+            diffs_ref.at[s, pl.ds(wstart_ref[hh, s], kprime)],
+            window.at[slot, s],
+            sems.at[slot, s],
+        )
+
+    def cdma(hh):
+        return pltpu.make_async_copy(coords_ref.at[hh], cs, csems)
+
+    @pl.when(hb == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        cdma(0).start()
+        for s in range(n_src):
+            dma(0, 0, s).start()
+
+    @pl.when(hb + 1 < nhb)
+    def _():
+        for s in range(n_src):
+            dma((hb + 1) % 2, hb + 1, s).start()
+
+    cdma(hb).wait()
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (kb, wp), 0) \
+        .astype(jnp.float32)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0) \
+        .astype(jnp.float32)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    colmask = (liota < wvalid).astype(jnp.float32)          # (1, Wp)
+    k0 = k0_ref[0]
+
+    for s in range(n_src):
+        dma(hb % 2, hb, s).wait()
+        w0 = wstart_ref[hb, s].astype(jnp.float32)
+        acc1 = jnp.zeros((1, wp), jnp.float32)
+        acc2 = jnp.zeros((1, wp), jnp.float32)
+        for r in range(r_rows):
+            q = q_ref[r].astype(jnp.float32)
+            rowvalid = (row0 + hb * r_rows + r < h_true) \
+                .astype(jnp.float32)
+            for d in range(nd):
+                rel = yrel_ref[hb, (s * r_rows + r) * nd + d]
+                band = window[hb % 2, s, pl.ds(rel, kb)]
+                ysd = cs[1, s, d, r]
+                y0 = w0 + rel.astype(jnp.float32)
+                ky = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ysd[None, :] - (kiota + y0)))
+                blend_buf[...] = jnp.sum(
+                    band.astype(jnp.float32) * ky[:, None, :], axis=0)
+                cols = []
+                for b in range(nb):
+                    start = xblk_ref[
+                        hb, ((s * r_rows + r) * nd + d) * nb + b] * 128
+                    startm = pl.multiple_of(start, 128)
+                    src_win = blend_buf[:, pl.ds(startm, 256)]
+                    xb = cs[0, s, d, r, b * 128:(b + 1) * 128]
+                    kx = jnp.maximum(0.0,
+                                     1.0 - jnp.abs(xb[None, :] - biota))
+                    cols.append(jax.lax.dot_general(
+                        src_win.astype(jnp.bfloat16),
+                        kx.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                warped = (cols[0] if nb == 1
+                          else jnp.concatenate(cols, axis=1))
+                p = jax.nn.sigmoid(warped)
+                sim = p * q + (1.0 - p) * (1.0 - q)
+                sfield = jnp.sum(sim * k0[:, None], axis=0)[None, :]
+                sf = sfield * (colmask * rowvalid)
+                acc1 = acc1 + sf
+                acc2 = acc2 + sf * sfield
+        s1 = jnp.sum(acc1)
+        s2 = jnp.sum(acc2)
+        row = (jnp.where(liota == 0, s1, 0.0)
+               + jnp.where(liota == 1, s2, 0.0)).astype(jnp.float32)
+        out_ref[pl.ds(s, 1)] = out_ref[pl.ds(s, 1)] + row
+
+    @pl.when(hb + 1 < nhb)
+    def _():
+        cdma(hb + 1).start()
 
 
 def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
@@ -288,14 +407,16 @@ def _pick_r_rows(nd: int, c: int, wp: int, h: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
-                                             "interpret", "smem_budget"))
+                                             "interpret", "smem_budget",
+                                             "with_wsum"))
 def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                        src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
                        depth_hypos: jnp.ndarray, k0: jnp.ndarray,
                        bn_scale, bn_offset, k1, b1, *, k_win: int = 16,
                        kb: int = 4, valid_w: int | None = None,
                        interpret: bool = False,
-                       smem_budget: int = 400_000):
+                       smem_budget: int = 400_000,
+                       with_wsum: bool = False):
     """Fused warp + aggregate for ONE batch item.
 
     Args:
@@ -374,12 +495,18 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     if wp != w_in:
         diffs = jnp.pad(diffs, ((0, 0), (0, 0), (0, 0), (0, wp - w_in)))
     k0_2 = k0.reshape(1, c).astype(jnp.float32)
-    scalars = jnp.zeros((1, 128), jnp.float32)
-    scalars = scalars.at[0, 0].set(bn_scale).at[0, 1].set(bn_offset)
-    scalars = scalars.at[0, 2].set(k1).at[0, 3].set(b1)
+    # per-src BN affine rows (identical at eval — train-mode BN statistics
+    # are per view, so rowsweep_aggregate_train passes (S,) vectors)
+    bn_scale = jnp.broadcast_to(jnp.asarray(bn_scale, jnp.float32), (n_src,))
+    bn_offset = jnp.broadcast_to(jnp.asarray(bn_offset, jnp.float32),
+                                 (n_src,))
+    scalars = jnp.zeros((n_src, 128), jnp.float32)
+    scalars = scalars.at[:, 0].set(bn_scale).at[:, 1].set(bn_offset)
+    scalars = scalars.at[:, 2].set(k1).at[:, 3].set(b1)
 
     kern = functools.partial(_rowsweep_kernel, n_src=n_src, kprime=kprime,
-                             nd=nd, kb=kb, r_rows=r_rows, nb=nb, wvalid=w)
+                             nd=nd, kb=kb, r_rows=r_rows, nb=nb, wvalid=w,
+                             with_wsum=with_wsum)
 
     # Scalar-prefetch arrays live in SMEM (1 MB): at the tanks config
     # (S=10 srcs, W up to 2048) the full-H plan overflows it, so the H
@@ -400,13 +527,16 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, c), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                pl.BlockSpec((n_src, 128), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((nd, r_rows, c, wp),
-                                   lambda i, *_: (0, i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(pl.BlockSpec((nd, r_rows, c, wp),
+                                    lambda i, *_: (0, i, 0, 0),
+                                    memory_space=pltpu.VMEM),)
+            + ((pl.BlockSpec((nd, r_rows, wp), lambda i, *_: (0, i, 0),
+                             memory_space=pltpu.VMEM),) if with_wsum
+               else ()),
             scratch_shapes=[
                 pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
                 pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
@@ -417,24 +547,141 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                 pltpu.SemaphoreType.DMA(()),
             ],
         )
-        return pl.pallas_call(
+        shapes = (jax.ShapeDtypeStruct((nd, nhb * r_rows, c, wp),
+                                       diffs.dtype),)
+        if with_wsum:
+            shapes = shapes + (jax.ShapeDtypeStruct(
+                (nd, nhb * r_rows, wp), jnp.float32),)
+        res = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nd, nhb * r_rows, c, wp),
-                                           diffs.dtype),
+            out_shape=shapes if with_wsum else shapes[0],
             interpret=interpret or _rt.force_interpret(),
         )(wstart[s0:s0 + nhb], yrel[s0:s0 + nhb], xblk[s0:s0 + nhb],
           q_p[s0 * r_rows:(s0 + nhb) * r_rows], coords[s0:s0 + nhb],
           k0_2, scalars, diffs)
+        return res if with_wsum else (res,)
+
+    if seg_hb >= hb_count:
+        parts = [run_segment(0, hb_count)]
+    else:
+        parts = [run_segment(s0, min(seg_hb, hb_count - s0))
+                 for s0 in range(0, hb_count, seg_hb)]
+    out = (parts[0][0] if len(parts) == 1
+           else jnp.concatenate([pp[0] for pp in parts], axis=1))
+    if with_wsum:
+        ws = (parts[0][1] if len(parts) == 1
+              else jnp.concatenate([pp[1] for pp in parts], axis=1))
+        return out[:, :h], ws[:, :h], cover
+    return out[:, :h], cover
+
+
+@functools.partial(jax.jit, static_argnames=("k_win", "kb", "valid_w",
+                                             "interpret", "smem_budget"))
+def rowsweep_stats(diffs: jnp.ndarray, q: jnp.ndarray,
+                   src_projs: jnp.ndarray, ref_proj: jnp.ndarray,
+                   depth_hypos: jnp.ndarray, k0: jnp.ndarray, *,
+                   k_win: int = 16, kb: int = 4, valid_w: int | None = None,
+                   interpret: bool = False, smem_budget: int = 400_000):
+    """Pass-1 of the train-mode fused aggregate for ONE batch item: per-view
+    (sum s, sum s^2) of the pre-BN DepthWeight scalar field s = k0 . sim
+    over the (D, H, W_valid) volume. Train BN normalises each view's s with
+    BATCH statistics (reference net/unit/homoaggregate.py:17-19 BN3d in
+    train mode), so the aggregation pass needs them first.
+
+    Args mirror :func:`rowsweep_aggregate` minus the BN/conv1 scalars.
+    Returns (sums (S, 2) f32, count, cover): count = D*H*W_valid elements
+    per view (python int), cover the same contract flag as the aggregate.
+    """
+    n_src, h, c, w_in = diffs.shape
+    w = valid_w or w_in
+    nd = depth_hypos.shape[0]
+    wp = -(-w // 128) * 128
+    assert w_in in (w, wp), (w_in, w)
+    if wp < 256:
+        wp = 256
+    kb = min(kb, h)
+
+    if depth_hypos.shape[-1] == 1:
+        hypos = jnp.broadcast_to(depth_hypos, (nd, 1, 1))
+    else:
+        hypos = depth_hypos
+
+    r_rows = _pick_r_rows(nd, c, wp, h)
+    bpe = 2 if diffs.dtype == jnp.bfloat16 else 4
+
+    def vmem_est(r):
+        kp = min(k_win + 2 * r, h)
+        return (2 * n_src * kp * c * wp * bpe
+                + 2 * n_src * nd * r * wp * 4
+                + c * wp * 4
+                + 2 * r * c * wp * bpe)
+
+    while r_rows > 1 and vmem_est(r_rows) > 13.5e6:
+        r_rows //= 2
+    kprime = min(k_win + 2 * r_rows, h)
+    hb_count = -(-h // r_rows)
+    hpad = hb_count * r_rows
+    nb = wp // 128
+
+    xs, ys, xrel, wstart, yrel, xblk, cover = _plan(
+        src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime)
+
+    def blkfmt(a):
+        a = a.reshape(n_src, hb_count, r_rows, nd, wp)
+        return jnp.transpose(a, (1, 0, 3, 2, 4))
+    coords = jnp.stack([blkfmt(xrel), blkfmt(ys)], axis=1)
+
+    q_p = jnp.pad(q, ((0, hpad - h), (0, 0), (0, wp - w_in)),
+                  constant_values=0.5)
+    if wp != w_in:
+        diffs = jnp.pad(diffs, ((0, 0), (0, 0), (0, 0), (0, wp - w_in)))
+    k0_2 = k0.reshape(1, c).astype(jnp.float32)
+
+    bytes_per_hb = 4 * (n_src + n_src * r_rows * nd * (1 + nb))
+    seg_hb = max(1, min(hb_count, smem_budget // max(bytes_per_hb, 1)))
+
+    def run_segment(s0, nhb):
+        kern = functools.partial(
+            _rowsweep_stats_kernel, n_src=n_src, kprime=kprime, nd=nd,
+            kb=kb, r_rows=r_rows, nb=nb, wvalid=w, h_true=h,
+            row0=s0 * r_rows)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nhb,),
+            in_specs=[
+                pl.BlockSpec((r_rows, c, wp), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, c), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((n_src, 128), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
+                pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
+                pltpu.VMEM((c, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, n_src)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_src, 128), jnp.float32),
+            interpret=interpret or _rt.force_interpret(),
+        )(wstart[s0:s0 + nhb], yrel[s0:s0 + nhb], xblk[s0:s0 + nhb],
+          q_p[s0 * r_rows:(s0 + nhb) * r_rows], coords[s0:s0 + nhb],
+          k0_2, diffs)
 
     if seg_hb >= hb_count:
         out = run_segment(0, hb_count)
     else:
-        outs = []
-        for s0 in range(0, hb_count, seg_hb):
-            outs.append(run_segment(s0, min(seg_hb, hb_count - s0)))
-        out = jnp.concatenate(outs, axis=1)
-    return out[:, :h], cover
+        out = sum(run_segment(s0, min(seg_hb, hb_count - s0))
+                  for s0 in range(0, hb_count, seg_hb))
+    return out[:, :2], nd * h * w, cover
 
 
 def rowsweep_cover(src_projs, ref_proj, depth_hypos, h, w,

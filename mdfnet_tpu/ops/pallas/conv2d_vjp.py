@@ -97,11 +97,16 @@ def _conv2d_train_bwd(stride, interpret, res, g):
 
 
 def _pad_like(template, g):
-    """XLA's floor-mode conv output can be one row/col SHORTER than the
-    Pallas kernel's ceil-mode output at odd extents under stride 2; the
-    extra ceil rows read only pad, so their cotangent is simply dropped."""
-    slices = tuple(slice(0, s) for s in template.shape)
-    return g[slices]
+    """For this kernel family (odd k, p=(k-1)//2, s in {1,2}) XLA's
+    floor-mode output floor((H-1)/s)+1 always equals the Pallas ceil-mode
+    ceil(H/s), so template.shape == g.shape and this is an identity; any
+    mismatch means an unsupported even-k/padding combination crept in and
+    must fail loudly rather than silently slice."""
+    if template.shape != g.shape:
+        raise ValueError(
+            f"conv2d vjp cotangent shape {g.shape} != conv output shape "
+            f"{template.shape}: unsupported kernel/stride/padding combo")
+    return g
 
 
 conv2d_train.defvjp(_conv2d_train_fwd, _conv2d_train_bwd)

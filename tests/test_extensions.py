@@ -232,3 +232,28 @@ def test_registry_assembles_alternative_units(rng):
     out_eval = model.apply(variables, *args, train=False)
     assert out_eval["depth"].shape == (1, 32, 64)
     assert np.isfinite(np.asarray(out_eval["depth"])).all()
+
+
+def test_alternative_units_remat_train(rng):
+    """remat=True with the variance aggregate (ADVICE r4: static_argnums
+    must match VarianceAggregate's shorter signature — this crashed at
+    init before round 5)."""
+    import jax
+
+    from mdfnet_tpu.config import ModelConfig
+    from mdfnet_tpu.data.synthetic import make_batch, make_plane_scene
+    from mdfnet_tpu.models.registry import build_model
+
+    cfg = ModelConfig(chs=(4, 8, 8, 8), ndepths=(8, 8, 8), ngroups=(8, 4, 4),
+                      aggregate_impl="variance", remat=True)
+    model = build_model(cfg)
+
+    scene = make_plane_scene(height=32, width=64, nviews=3, plane_depth=600.0)
+    batch = make_batch(scene, batch=1)
+    args = (jnp.asarray(batch["imgs"]), jnp.asarray(batch["extrinsics"]),
+            jnp.asarray(batch["intrinsics"]), jnp.asarray(batch["depth_range"]))
+
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+    out, _ = model.apply(variables, *args, train=True,
+                         mutable=["batch_stats"])
+    assert all(np.isfinite(np.asarray(dd)).all() for dd in out["depth"])

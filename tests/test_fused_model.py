@@ -60,7 +60,8 @@ def _interpret_all_kernels():
 
     stack = contextlib.ExitStack()
     for mod, names in ((conv2d_kernel, ["conv2d_fused", "conv2d_chain_fused"]),
-                       (conv3d_kernel, ["conv3d_bn_relu"]),
+                       (conv3d_kernel, ["conv3d_bn_relu",
+                                        "conv3d_pair_bn_relu"]),
                        (aggregate_kernel, ["rowsweep_aggregate"])):
         for n in names:
             orig = getattr(mod, n)

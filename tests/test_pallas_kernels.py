@@ -51,6 +51,80 @@ def test_conv3d_bn_relu_matches_lax_conv(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    # (d, h, ci, cm, co, w): odd extents, non-128 widths, ci != cm != co
+    (6, 20, 16, 8, 8, 40),
+    (5, 9, 32, 16, 16, 130),
+    (8, 12, 8, 8, 16, 50),
+])
+def test_conv3d_pair_matches_two_convs(rng, shape):
+    """conv3d_pair_bn_relu == two chained conv3d_bn_relu calls (the VMEM
+    intermediate is bit-compatible with the HBM round-trip)."""
+    from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_pair_bn_relu
+
+    d, h, ci, cm, co, w = shape
+    x = rng.randn(d, h, ci, w).astype(np.float32)
+    k1 = (rng.randn(3, 3, 3, ci, cm) * 0.1).astype(np.float32)
+    k2 = (rng.randn(3, 3, 3, cm, co) * 0.1).astype(np.float32)
+    s1 = (0.5 + rng.rand(cm)).astype(np.float32)
+    o1 = rng.randn(cm).astype(np.float32)
+    s2 = (0.5 + rng.rand(co)).astype(np.float32)
+    o2 = rng.randn(co).astype(np.float32)
+
+    mid = conv3d_bn_relu(jnp.asarray(x), jnp.asarray(k1), jnp.asarray(s1),
+                         jnp.asarray(o1), th=8, interpret=True)
+    ref = conv3d_bn_relu(mid, jnp.asarray(k2), jnp.asarray(s2),
+                         jnp.asarray(o2), th=8, interpret=True)
+
+    out = conv3d_pair_bn_relu(jnp.asarray(x), jnp.asarray(k1),
+                              jnp.asarray(s1), jnp.asarray(o1),
+                              jnp.asarray(k2), jnp.asarray(s2),
+                              jnp.asarray(o2), th=8, td=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # keep_wpad: pad columns must come back zeroed for the next consumer
+    outp = conv3d_pair_bn_relu(jnp.asarray(x), jnp.asarray(k1),
+                               jnp.asarray(s1), jnp.asarray(o1),
+                               jnp.asarray(k2), jnp.asarray(s2),
+                               jnp.asarray(o2), th=8, td=2,
+                               keep_wpad=True, interpret=True)
+    wp = -(-w // 128) * 128
+    assert outp.shape[-1] == wp
+    np.testing.assert_allclose(np.asarray(outp[..., :w]), np.asarray(ref),
+                               atol=1e-4)
+    assert not np.any(np.asarray(outp[..., w:]))
+
+
+def test_conv3d_pair_bf16_aligned_input(rng):
+    """bf16 pair with a 128-aligned zero-padded input extent (the dhcw
+    U-Net's production calling convention)."""
+    from mdfnet_tpu.ops.pallas.conv3d_kernel import conv3d_pair_bn_relu
+
+    d, h, ci, cm, co, w = 4, 10, 16, 8, 8, 100
+    wp = 128
+    x = np.zeros((d, h, ci, wp), np.float32)
+    x[..., :w] = rng.randn(d, h, ci, w)
+    k1 = (rng.randn(3, 3, 3, ci, cm) * 0.1).astype(np.float32)
+    k2 = (rng.randn(3, 3, 3, cm, co) * 0.1).astype(np.float32)
+    s1 = (0.5 + rng.rand(cm)).astype(np.float32)
+    o1 = rng.randn(cm).astype(np.float32)
+    s2 = (0.5 + rng.rand(co)).astype(np.float32)
+    o2 = rng.randn(co).astype(np.float32)
+
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    mid = conv3d_bn_relu(xb, jnp.asarray(k1), jnp.asarray(s1),
+                         jnp.asarray(o1), th=8, valid_w=w, keep_wpad=True,
+                         interpret=True)
+    ref = conv3d_bn_relu(mid, jnp.asarray(k2), jnp.asarray(s2),
+                         jnp.asarray(o2), th=8, valid_w=w, interpret=True)
+    out = conv3d_pair_bn_relu(xb, jnp.asarray(k1), jnp.asarray(s1),
+                              jnp.asarray(o1), jnp.asarray(k2),
+                              jnp.asarray(s2), jnp.asarray(o2), th=8, td=2,
+                              valid_w=w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2)
+
+
 def test_conv3d_bn_relu_via_module(rng):
     """ConvBNReLU3D(pallas_eval=True) matches the XLA path in interpret mode,
     sharing the same parameter structure."""

@@ -1,16 +1,28 @@
-"""Bench + HBM-fit the non-DTU BASELINE.json configs on the real chip
-(VERDICT r3 item 4):
+"""Bench + HBM-fit ALL BASELINE.json configs on the real chip and emit a
+machine-readable artifact (VERDICT r4 items 5+6):
 
+  - dtu-eval:    eval 1600x1184, 5 views (the bench.py headline config)
   - tanks-1920:  eval 1920x1056, 11 views (reference config.py:114-121,
                  tankseval.py:36 crop; ref-view depth range from cams_1)
   - tanks-2048:  eval 2048x1056, 11 views (the largest T&T intermediate)
   - blended-train: BlendedMVS train step 768x576, batch 6
                  (reference config.py:72-89)
+  - dtu-train:   DTU train step 640x512, batch 4 (reference train.py:36-45)
 
-Prints one line per config: ms, maps/s (eval) or ms/step (train), peak HBM.
-Usage:  python tools/bench_configs.py [--configs tanks-1920,tanks-2048,blended-train]
+Peak HBM: `device.memory_stats()` is not exposed through the axon tunnel,
+so each config also reports the COMPILE-TIME memory analysis of its jitted
+step (temp + argument + output bytes) — XLA's own allocation plan, which is
+what actually bounds fit. The reference publishes 4,396 MB at DTU eval
+(reference README.md:70-72).
+
+Usage:
+  python tools/bench_configs.py [--configs dtu-eval,...] [--json OUT.json]
+
+Each config prints one human line and, with --json, appends a JSON object
+to the artifact (committed as BENCH_configs_r{N}.json round-over-round).
 """
 import argparse
+import json
 import sys
 import time
 
@@ -24,6 +36,23 @@ def device_mem_mb():
         return stats.get("peak_bytes_in_use", 0) / 1e6
     except Exception:
         return float("nan")
+
+
+def compiled_mem_mb(compiled):
+    """XLA's compile-time allocation plan in MB: temp (live intermediate
+    buffers at the high-water mark) + argument + output bytes."""
+    try:
+        ma = compiled.memory_analysis()
+        return {
+            "hbm_temp_mb": ma.temp_size_in_bytes / 1e6,
+            "hbm_args_mb": ma.argument_size_in_bytes / 1e6,
+            "hbm_out_mb": ma.output_size_in_bytes / 1e6,
+            "hbm_total_mb": (ma.temp_size_in_bytes
+                             + ma.argument_size_in_bytes
+                             + ma.output_size_in_bytes) / 1e6,
+        }
+    except Exception as e:  # pragma: no cover - backend without analysis
+        return {"hbm_total_mb": float("nan"), "hbm_error": str(e)}
 
 
 def bench_eval(height, width, nviews, label):
@@ -47,11 +76,13 @@ def bench_eval(height, width, nviews, label):
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), *args,
                                            train=False))()
 
-    @jax.jit
-    def fwd(*a):
+    def apply(*a):
         return model.apply(variables, *a, train=False)
 
     t0 = time.time()
+    lowered = jax.jit(apply).lower(*args)
+    compiled = lowered.compile()
+    fwd = compiled
     out = fwd(*args)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
@@ -65,9 +96,15 @@ def bench_eval(height, width, nviews, label):
         best = el if best is None else min(best, el)
     import numpy as np
     assert np.isfinite(np.asarray(out["depth"])).all()
+    mem = compiled_mem_mb(compiled)
+    rec = {"config": label, "kind": "eval", "height": height, "width": width,
+           "nviews": nviews, "ms_per_map": best * 1e3,
+           "maps_per_sec": 1 / best, "compile_s": compile_s,
+           "runtime_peak_hbm_mb": device_mem_mb(), **mem}
     print(f"{label}: {best * 1e3:.1f} ms/map = {1 / best:.2f} maps/s "
-          f"(compile {compile_s:.0f}s, peak HBM {device_mem_mb():.0f} MB)",
-          flush=True)
+          f"(compile {compile_s:.0f}s, plan HBM "
+          f"{mem.get('hbm_total_mb', float('nan')):.0f} MB)", flush=True)
+    return rec
 
 
 def bench_train(height, width, batch_size, nviews, label):
@@ -92,23 +129,39 @@ def bench_train(height, width, batch_size, nviews, label):
     model, state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
     step = make_train_step(model, TrainConfig(batch_size=batch_size))
     t0 = time.time()
-    state, loss = step(state, batch)
+    lowered = step.lower(state, batch) if hasattr(step, "lower") else None
+    compiled = lowered.compile() if lowered is not None else None
+    if compiled is not None:
+        state, loss = compiled(state, batch)
+    else:
+        state, loss = step(state, batch)
     loss = float(loss)
     compile_s = time.time() - t0
+    runner = compiled if compiled is not None else step
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(3):
-            state, loss = step(state, batch)
+            state, loss = runner(state, batch)
         _ = float(loss)
         el = (time.perf_counter() - t0) / 3
         best = el if best is None else min(best, el)
+    mem = (compiled_mem_mb(compiled) if compiled is not None
+           else {"hbm_total_mb": float("nan")})
+    rec = {"config": label, "kind": "train", "height": height, "width": width,
+           "batch_size": batch_size, "nviews": nviews,
+           "ms_per_step": best * 1e3, "items_per_sec": batch_size / best,
+           "compile_s": compile_s, "loss": loss,
+           "runtime_peak_hbm_mb": device_mem_mb(), **mem}
     print(f"{label}: {best * 1e3:.0f} ms/step = "
           f"{batch_size / best:.2f} items/s (compile {compile_s:.0f}s, "
-          f"peak HBM {device_mem_mb():.0f} MB, loss {loss:.4f})", flush=True)
+          f"plan HBM {mem.get('hbm_total_mb', float('nan')):.0f} MB, "
+          f"loss {loss:.4f})", flush=True)
+    return rec
 
 
 CONFIGS = {
+    "dtu-eval": lambda: bench_eval(1184, 1600, 5, "dtu-1600x1184x5v"),
     # tanks eval heights are cropped to 1056 (reference tankseval.py:36)
     "tanks-1920": lambda: bench_eval(1056, 1920, 11, "tanks-1920x1056x11v"),
     "tanks-2048": lambda: bench_eval(1056, 2048, 11, "tanks-2048x1056x11v"),
@@ -120,10 +173,20 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="tanks-1920,tanks-2048,blended-train")
+    ap.add_argument("--configs",
+                    default="dtu-eval,tanks-1920,tanks-2048,"
+                            "blended-train,dtu-train")
+    ap.add_argument("--json", default=None,
+                    help="write one JSON object per config to this file")
     args = ap.parse_args()
+    records = []
     for name in args.configs.split(","):
-        CONFIGS[name]()
+        records.append(CONFIGS[name]())
+    if args.json:
+        with open(args.json, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+        print(f"wrote {len(records)} records to {args.json}", flush=True)
 
 
 if __name__ == "__main__":
