@@ -229,6 +229,38 @@ class VectorAggregate(nn.Module):
             # homography_warp_pallas carries a custom VJP (scatter-free
             # splat, ops/splat.py) for d(src_feat).
             impl = "dense"
+        if spatial_ctx is not None and impl == "fused" and not train:
+            # spatial x fused (round 5): the rowsweep kernel runs
+            # band-locally — the ref grid is this device's H band (its
+            # global offset rides ref_proj's shifted cy, set by
+            # parallel/spatial.py), while the SOURCE pair-diffs are
+            # all-gathered to full height (small 2D tensors; the dense
+            # path does the same, see below). pair_diffs arrive in the
+            # fused path's (B, Hb, G, W) hcw layout (core.py transposes
+            # them whenever warp_impl == "fused"), and core transposes the
+            # returned hcw volume back to channels-last itself.
+            from mdfnet_tpu.ops.pallas.aggregate_kernel import (
+                rowsweep_aggregate)
+            assert pair_diffs is not None, "fused path needs hcw pair_diffs"
+            q = nn.sigmoid(pair_diffs[0])               # (B, Hb, G, W)
+            full = [halo.all_gather_rows(dd, h_axis=1)
+                    for dd in pair_diffs[1:]]
+            diffs_hcw = jnp.stack(full, axis=1)         # (B, S, H, G, W)
+            k0, bn_s, bn_o, k1, b1 = weight_net(None, train=False,
+                                                fold_params=True)
+            b = q.shape[0]
+            wv = valid_w or q.shape[-1]
+            outs, cvs = zip(*[
+                rowsweep_aggregate(diffs_hcw[bi], q[bi], src_projs[bi],
+                                   ref_proj[bi], depth_hypos[bi],
+                                   k0, bn_s, bn_o, k1, b1, valid_w=wv)
+                for bi in range(b)])
+            vol = jnp.stack(outs)                       # (B, D, Hb, G, Wp)
+            if not keep_wpad:
+                vol = vol[..., :wv]
+            if with_cover:
+                return vol, jnp.all(jnp.stack(cvs))
+            return vol
         if spatial_ctx is not None:
             # spatial sharding: warp sources are all-gathered below and the
             # XLA dense path handles the band-height ref grid

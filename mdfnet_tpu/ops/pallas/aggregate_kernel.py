@@ -176,7 +176,10 @@ def _rowsweep_kernel(wstart_ref,        # scalar prefetch (HB, S) i32
         res = res * (mi < wvalid).astype(res.dtype)
     out_ref[...] = res.astype(out_ref.dtype)
     if with_wsum:
-        wsum_out[...] = wsum[...].astype(wsum_out.dtype)
+        # (R, D, Wp) block: Mosaic constrains the LAST TWO block dims
+        # (divisible by (8, 128) or full-extent) — r_rows can be < 8, so
+        # it rides the unconstrained majormost axis
+        wsum_out[...] = jnp.transpose(wsum[...], (1, 0, 2))             .astype(wsum_out.dtype)
 
 
 def _rowsweep_stats_kernel(wstart_ref,  # scalar prefetch (HB, S) i32
@@ -276,8 +279,9 @@ def _rowsweep_stats_kernel(wstart_ref,  # scalar prefetch (HB, S) i32
                 acc2 = acc2 + sf * sfield
         s1 = jnp.sum(acc1)
         s2 = jnp.sum(acc2)
-        row = (jnp.where(liota == 0, s1, 0.0)
-               + jnp.where(liota == 1, s2, 0.0)).astype(jnp.float32)
+        oiota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = (jnp.where(oiota == 0, s1, 0.0)
+               + jnp.where(oiota == 1, s2, 0.0)).astype(jnp.float32)
         out_ref[pl.ds(s, 1)] = out_ref[pl.ds(s, 1)] + row
 
     @pl.when(hb + 1 < nhb)
@@ -285,9 +289,16 @@ def _rowsweep_stats_kernel(wstart_ref,  # scalar prefetch (HB, S) i32
         cdma(hb + 1).start()
 
 
-def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
+def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp,
+                      src_h=None):
     """Effective sample coords per src in (S, H, D, Wp) layout (f32), with
     out-of-range fill (-2: zero tent weight everywhere).
+
+    ``h`` is the REF grid row count; ``src_h`` the source image height
+    (differs under spatial sharding, where the ref grid is one band but the
+    sources are all-gathered to full height — the band's global offset
+    arrives through ref_proj's shifted cy, exactly like
+    ops/warp_dense.py's out_h mode).
 
     Computed directly on a Wp-wide pixel grid with the pad columns MASKED
     (a select that fuses into the coordinate math) — padding the (S, H, D,
@@ -295,6 +306,7 @@ def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
     profile at bench size)."""
     n_src = src_projs.shape[0]
     d = depth_hypos.shape[0]
+    sh = src_h or h
     hyp = depth_hypos
     if hyp.shape[-1] not in (1, wp):
         # per-pixel hypotheses: edge-pad the lanes (small vs the coords)
@@ -306,7 +318,7 @@ def _sweep_coords_hdw(src_projs, ref_proj, depth_hypos, h, w, wp):
             src_projs[s:s + 1].astype(jnp.float32),
             ref_proj[None].astype(jnp.float32),
             hyp[None].astype(jnp.float32), h, wp)
-        x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, h, w)
+        x_eff, y_eff = geometry.reference_grid_coords(x_src, y_src, sh, w)
         xs.append(x_eff.reshape(d, h, wp))
         ys.append(y_eff.reshape(d, h, wp))
     xs = jnp.stack(xs).transpose(0, 2, 1, 3)   # (S, H, D, Wp)
@@ -355,13 +367,16 @@ def _x_block_starts(xs, w):
     return start, cover  # (S, H, D, NB)
 
 
-def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
+def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime,
+          src_h=None):
     """All prefetch arrays + the coverage flag for the v2 kernel.
 
     Returns (xs, ys, xrel, wstart, yrel, xblk_flat, cover); row axes are
-    padded (edge-replicated) to ceil(h / r_rows) * r_rows.
+    padded (edge-replicated) to ceil(h / r_rows) * r_rows. ``src_h``:
+    source rows when they differ from the ref grid (spatial sharding).
     """
-    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp)
+    sh = src_h or h
+    xs, ys = _sweep_coords_hdw(src_projs, ref_proj, hypos, h, w, wp, sh)
     nd = hypos.shape[0]
     nb = wp // 128
     n_src = src_projs.shape[0]
@@ -373,13 +388,13 @@ def _plan(src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime):
         xs = jnp.pad(xs, rpad, mode="edge")
         ys = jnp.pad(ys, rpad, mode="edge")
 
-    band, cover_y = _band_starts(ys, h, kb)                 # (S, Hp, D)
+    band, cover_y = _band_starts(ys, sh, kb)                # (S, Hp, D)
     xblk, cover_x = _x_block_starts(xs, w)                  # (S, Hp, D, NB)
 
     band_blk = band.reshape(n_src, hb_count, r_rows, nd)
     bmin = jnp.min(band_blk, axis=(2, 3))                   # (S, HB)
     bmax = jnp.max(band_blk, axis=(2, 3))
-    wstart = jnp.clip(bmin, 0, max(h - kprime, 0))          # (S, HB)
+    wstart = jnp.clip(bmin, 0, max(sh - kprime, 0))         # (S, HB)
     cover_w = jnp.all(bmax + kb <= wstart + kprime)
     yrel = jnp.clip(band_blk - wstart[:, :, None, None], 0, kprime - kb)
     # (HB, S*R*D) — kernel index (s*R + r)*D + d
@@ -420,7 +435,10 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     """Fused warp + aggregate for ONE batch item.
 
     Args:
-        diffs: (S, H, C, W) src pair-difference features, (H, C, W) layout.
+        diffs: (S, Hs, C, W) src pair-difference features, (H, C, W)
+            layout. Hs == q's H normally; under spatial sharding the srcs
+            are all-gathered to FULL height while q stays band-local (the
+            band's global offset rides ref_proj's shifted cy).
         q: (H, C, W) sigmoid of the ref view's pair differences.
         src_projs: (S, 4, 4); ref_proj: (4, 4).
         depth_hypos: (D, H, W) or (D, 1, 1).
@@ -436,14 +454,15 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
         y-band/window/x-window contracts all held, i.e. the volume is exact.
         On False, fall back to the dense/gather path.
     """
-    n_src, h, c, w_in = diffs.shape
+    n_src, src_h, c, w_in = diffs.shape
+    h = q.shape[0]                      # ref grid rows (band under sharding)
     w = valid_w or w_in
     nd = depth_hypos.shape[0]
     wp = -(-w // 128) * 128
     assert w_in in (w, wp), (w_in, w)
     if wp < 256:
         wp = 256  # the banded x-interp needs a 256-col source window
-    kb = min(kb, h)
+    kb = min(kb, src_h)
 
     if depth_hypos.shape[-1] == 1:
         hypos = jnp.broadcast_to(depth_hypos, (nd, 1, 1))
@@ -458,7 +477,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
     bpe = 2 if diffs.dtype == jnp.bfloat16 else 4
 
     def vmem_est(r):
-        kp = min(k_win + 2 * r, h)
+        kp = min(k_win + 2 * r, src_h)
         return (2 * n_src * kp * c * wp * bpe          # window
                 + 2 * n_src * nd * r * wp * 4          # cs (coords)
                 + nd * r * c * wp * 4                  # vol accumulator
@@ -468,13 +487,14 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
 
     while r_rows > 1 and vmem_est(r_rows) > 13.5e6:
         r_rows //= 2
-    kprime = min(k_win + 2 * r_rows, h)
+    kprime = min(k_win + 2 * r_rows, src_h)
     hb_count = -(-h // r_rows)
     hpad = hb_count * r_rows
     nb = wp // 128
 
     xs, ys, xrel, wstart, yrel, xblk, cover = _plan(
-        src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime)
+        src_projs, ref_proj, hypos, h, w, wp, kb, r_rows, kprime,
+        src_h=src_h)
 
     # (S, Hp, D, Wp) -> (HB, 2, S, D, R, Wp): pre-grouped per row-block so
     # the kernel fetches each step's coords with ONE leading-axis DMA
@@ -531,12 +551,15 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(pl.BlockSpec((nd, r_rows, c, wp),
-                                    lambda i, *_: (0, i, 0, 0),
-                                    memory_space=pltpu.VMEM),)
-            + ((pl.BlockSpec((nd, r_rows, wp), lambda i, *_: (0, i, 0),
-                             memory_space=pltpu.VMEM),) if with_wsum
-               else ()),
+            out_specs=(
+                (pl.BlockSpec((nd, r_rows, c, wp),
+                              lambda i, *_: (0, i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((r_rows, nd, wp), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)) if with_wsum
+                else pl.BlockSpec((nd, r_rows, c, wp),
+                                  lambda i, *_: (0, i, 0, 0),
+                                  memory_space=pltpu.VMEM)),
             scratch_shapes=[
                 pltpu.VMEM((2, n_src, kprime, c, wp), diffs.dtype),
                 pltpu.VMEM((2, n_src, nd, r_rows, wp), jnp.float32),
@@ -551,7 +574,7 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
                                        diffs.dtype),)
         if with_wsum:
             shapes = shapes + (jax.ShapeDtypeStruct(
-                (nd, nhb * r_rows, wp), jnp.float32),)
+                (nhb * r_rows, nd, wp), jnp.float32),)
         res = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -571,8 +594,8 @@ def rowsweep_aggregate(diffs: jnp.ndarray, q: jnp.ndarray,
            else jnp.concatenate([pp[0] for pp in parts], axis=1))
     if with_wsum:
         ws = (parts[0][1] if len(parts) == 1
-              else jnp.concatenate([pp[1] for pp in parts], axis=1))
-        return out[:, :h], ws[:, :h], cover
+              else jnp.concatenate([pp[1] for pp in parts], axis=0))
+        return out[:, :h], jnp.transpose(ws[:h], (1, 0, 2)), cover
     return out[:, :h], cover
 
 

@@ -153,7 +153,7 @@ def _rat_bwd(res, cots):
         d_diffs.append(jnp.transpose(d_diff_v, (0, 1, 3, 2)))
 
     d_diffs = jnp.stack(d_diffs, axis=1).astype(diffs.dtype)
-    d_q_hcw = jnp.transpose(d_q, (0, 3, 1, 2)).astype(q.dtype)
+    d_q_hcw = jnp.transpose(d_q, (0, 1, 3, 2)).astype(q.dtype)
     return (d_diffs, d_q_hcw,
             jnp.zeros_like(src_projs), jnp.zeros_like(ref_proj),
             jnp.zeros_like(depth_hypos),

@@ -54,11 +54,10 @@ def spatial_eval_forward(model, variables, mesh: Mesh, imgs, extrinsics,
     # pallas_conv=True IS supported (round 4): the 3D U-Net convs run the
     # fused Pallas kernels band-locally — each band gets its true halo rows
     # (layers.ConvBNReLU3D/TrConvBNReLU3D _pallas_path) — while the backbone
-    # and refine fall through to their halo-aware XLA paths. Only the fused
-    # rowsweep aggregation has no band mode (its warp needs global rows).
-    assert getattr(model, "warp_impl", "dense") != "fused", (
-        "spatial sharding: use warp_impl dense/pallas/gather (the fused "
-        "rowsweep kernel has no band-local mode)")
+    # and refine fall through to their halo-aware XLA paths. warp_impl=
+    # "fused" also composes (round 5): the rowsweep kernel runs band-local
+    # ref rows against all-gathered full-height source pair-diffs
+    # (models/aggregate.py spatial x fused branch).
     band = h // n
 
     def band_forward(band_imgs, extr, intr, drange):

@@ -1,6 +1,9 @@
 """Training-step throughput at the reference's DTU train config
 (640x512, 5 views, batch 4) on the current device. Developer tool."""
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +14,7 @@ from mdfnet_tpu.train_lib import create_train_state, make_train_step
 
 
 def main(batch_size: int = 1, remat: bool = False, wfold: bool = False,
-         fast: bool = False):
+         fast: bool = False, warp: str | None = None):
     # per-chip batch: the reference splits B=4 over up to 8 GPUs; the
     # scatter-free splat adjoint fits the full reference batch on ONE
     # 16 GB chip without remat (BENCH.md). --fast = the published train
@@ -25,7 +28,8 @@ def main(batch_size: int = 1, remat: bool = False, wfold: bool = False,
              for k, v in batch_np.items()}
 
     platform = jax.devices()[0].platform
-    warp = "pallas" if platform != "cpu" else "dense"
+    if warp is None:
+        warp = "pallas" if platform != "cpu" else "dense"
     model_cfg = ModelConfig(warp_impl=warp, remat=remat,
                             wfold=wfold or fast,
                             compute_dtype="bfloat16" if fast else "float32",
@@ -47,8 +51,9 @@ def main(batch_size: int = 1, remat: bool = False, wfold: bool = False,
         state, loss = step(state, batch)
     sync(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step (B={B}, remat={remat}, wfold={wfold}, fast={fast}): "
-          f"{dt*1000:.0f} ms  ({B / dt:.2f} items/s, loss {float(loss):.4f})")
+    print(f"train step (B={B}, remat={remat}, wfold={wfold}, fast={fast}, "
+          f"warp={warp}): {dt*1000:.0f} ms  ({B / dt:.2f} items/s, "
+          f"loss {float(loss):.4f})")
 
 
 if __name__ == "__main__":
@@ -60,5 +65,8 @@ if __name__ == "__main__":
     p.add_argument("--fast", action="store_true",
                    help="published train config: bf16 + wfold + Pallas "
                         "train U-Nets (custom-VJP conv3d)")
+    p.add_argument("--warp", default=None,
+                   help="override warp_impl (fused = round-5 custom-VJP "
+                        "rowsweep train aggregate)")
     a = p.parse_args()
-    main(a.batch_size, a.remat, a.wfold, a.fast)
+    main(a.batch_size, a.remat, a.wfold, a.fast, a.warp)
