@@ -69,8 +69,11 @@ def main(argv=None):
     parser.add_argument("--spatial", type=int, default=1, metavar="N",
                         help="shard the image-height axis over N devices "
                              "(exact halo-exchange sharding; 1/N HBM per "
-                             "device). Requires H %% (N*32) == 0 and the "
-                             "XLA conv path (disables Pallas fast paths)")
+                             "device). Requires H %% (N*32) == 0. On TPU "
+                             "the fused rowsweep aggregate runs band-"
+                             "locally (round 5); U-Net Pallas convs run "
+                             "with halo rows; backbone/refine take their "
+                             "halo-aware XLA paths")
     parser.add_argument("--exact", action="store_true",
                         help="force the slow guaranteed-exact f32 gather "
                              "path instead of the platform's fast config")

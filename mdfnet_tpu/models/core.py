@@ -174,7 +174,9 @@ class CoreNet(nn.Module):
             ch_axis = 2 if (self.pallas_conv and fused) else 3
             stage_diffs = []
             for f in fs:
-                if emit_diffs:
+                if emit_diffs and not sp_ctx:
+                    # (under spatial sharding the backbone fell back to its
+                    # XLA path, which emits FEATURES, not diffs)
                     dstack = f
                 elif ch_axis == 2:
                     dstack = f[:, :, 0::2, :] - f[:, :, 1::2, :]
@@ -223,8 +225,9 @@ class CoreNet(nn.Module):
             if not train and (emit_diffs or self.ngroups[stage] * 2
                               == stage_feats[0].shape[ch_ax]):
                 diffs = stage_diffs[stage]
-                if fused and not self.pallas_conv:
-                    # fused kernel wants (B, H, G, W); XLA backbone gave NHWC
+                if fused and (not self.pallas_conv or sp_ctx):
+                    # fused kernel wants (B, H, G, W); the XLA backbone
+                    # (always used under spatial sharding) gave NHWC
                     diffs = [jnp.transpose(d, (0, 1, 3, 2)) for d in diffs]
             if self.aggregate_impl != "vector":
                 cost_volume = aggregates[stage](stage_feats, ref_proj,

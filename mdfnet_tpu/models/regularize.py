@@ -69,18 +69,26 @@ class ProbConv(nn.Module):
             # one fused Co=1 conv2d per dz tap over D-shifted views (dim-0
             # slices are cheap): the 27-slice XLA loop re-read the volume 9x
             from mdfnet_tpu.ops.pallas.conv2d_kernel import conv2d_fused
+            from mdfnet_tpu.parallel import halo
+            ctx = halo.current_ctx()
+            if ctx is not None:
+                # spatial sharding: give each band its true neighbour rows,
+                # then drop the rows the conv's own zero padding corrupts
+                x = halo.halo_exchange(x, h_axis=2, lo=1, hi=1, edge="zero")
             one = jnp.ones((1,), jnp.float32)
             zero = jnp.zeros((1,), jnp.float32)
             outs = []
             for bi in range(b):
                 xp = jnp.pad(x[bi].astype(dtype),
                              ((1, 1), (0, 0), (0, 0), (0, 0)))
-                acc = jnp.zeros((d, h, w), jnp.float32)
+                acc = jnp.zeros((d, x.shape[2], w), jnp.float32)
                 vwk = w if w != xp.shape[-1] else None
                 for dz in range(3):
                     y = conv2d_fused(xp[dz:dz + d], k[dz], one, zero,
                                      relu=False, valid_w=vwk)
                     acc = acc + y[:, :, 0, :].astype(jnp.float32)
+                if ctx is not None:
+                    acc = jax.lax.slice_in_dim(acc, 1, 1 + h, axis=1)
                 outs.append(acc)
             return jnp.stack(outs)
         from mdfnet_tpu.parallel import halo
@@ -389,10 +397,15 @@ class RegularNet4Scales(nn.Module):
         assert h % 8 == 0 and vw % 8 == 0, \
             f"volume H,W must divide 8, got {(h, vw)}"
         assert tuple(self.sample_stride) == (2, 2, 2)
-        if d % 8 == 0 and d * c0 in (64, 192):
+        from mdfnet_tpu.parallel import halo as _halo
+        if (d % 8 == 0 and d * c0 in (64, 192)
+                and _halo.current_ctx() is None):
             # small-D net: every level folds to the same channel count
             # (64 for stage 2, 192 for stage 1) — run the whole U-Net as
-            # 11 conv2d launches (ops/fold2d.py)
+            # 11 conv2d launches (ops/fold2d.py). Under spatial sharding
+            # fall through to the per-layer dhcw path, whose conv/trconv
+            # modules exchange their own halo rows (fold2d has no band
+            # mode).
             return self._fold2d_path(x, c0, c1, c2, c3, vw)
         w1, w2, w3 = vw // 2, vw // 4, vw // 8
         wp = lambda ww: -(-ww // 128) * 128

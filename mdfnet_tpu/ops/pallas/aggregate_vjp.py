@@ -45,12 +45,14 @@ def _fused_train_impl(diffs, q, src_projs, ref_proj, depth_hypos,
     k0f = k0.astype(jnp.float32)
     sums = 0.0
     for bi in range(b):
-        s2, count, cover_b = rowsweep_stats(
+        s2, _, cover_b = rowsweep_stats(
             diffs[bi], q[bi], src_projs[bi], ref_proj[bi], depth_hypos[bi],
             k0f, valid_w=w)
         sums = sums + s2
         cover = cover_b if bi == 0 else (cover & cover_b)
-    n = b * count
+    # element count from STATIC shapes (the jitted stats call would return
+    # it traced, breaking max() under an outer jit)
+    n = b * depth_hypos.shape[1] * h * w
     mu = sums[:, 0] / n                                   # (S,)
     var_b = jnp.maximum(sums[:, 1] / n - mu * mu, 0.0)    # biased
     var_unbiased = var_b * (n / max(n - 1, 1))

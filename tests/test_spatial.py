@@ -207,3 +207,41 @@ def test_spatial_sharded_eval_with_fused_rowsweep():
     rel = np.abs(depth - np.asarray(ref["depth"])) / scale
     assert np.median(rel) < 2e-4, f"median rel depth err {np.median(rel)}"
     assert rel.max() < 2e-2, f"max rel depth err {rel.max()}"
+
+
+@pytest.mark.slow
+def test_spatial_sharded_eval_fully_fused():
+    """The TRIO: spatial sharding x fused rowsweep x pallas_conv — the
+    memory-lean full-res eval on the complete TPU fast path. Band-fused
+    aggregates feed the dhcw Pallas U-Nets (halo-aware conv/trconv +
+    ProbConv), with the backbone/refine on their halo-aware XLA paths."""
+    from mdfnet_tpu.ops.pallas import runtime as pallas_rt
+
+    n = 4
+    assert len(jax.devices()) >= n
+    mesh = make_mesh(data=1, spatial=n, devices=jax.devices()[:n])
+
+    SMALL2 = ModelConfig(chs=(4, 8, 8, 16), ndepths=(8, 8, 8),
+                         ngroups=(8, 4, 4))
+    args = _make_args(height=n * 32, width=64)
+    model_xla = build_model(SMALL2)
+    variables = model_xla.init(jax.random.PRNGKey(0), *args, train=False)
+    ref = model_xla.apply(variables, *args, train=False)
+
+    jax.clear_caches()
+    pallas_rt.set_force_interpret(True)
+    try:
+        model_f = build_model(
+            ModelConfig(chs=SMALL2.chs, ndepths=SMALL2.ndepths,
+                        ngroups=SMALL2.ngroups, warp_impl="fused",
+                        pallas_conv=True))
+        out = spatial_eval_forward(model_f, variables, mesh, *args)
+        depth = np.asarray(out["depth"])
+    finally:
+        pallas_rt.set_force_interpret(False)
+        jax.clear_caches()
+
+    scale = 935.0 - 425.0
+    rel = np.abs(depth - np.asarray(ref["depth"])) / scale
+    assert np.median(rel) < 2e-4, f"median rel depth err {np.median(rel)}"
+    assert rel.max() < 2e-2, f"max rel depth err {rel.max()}"
