@@ -151,7 +151,7 @@ def bench_train(height, width, batch_size, nviews, label):
     rec = {"config": label, "kind": "train", "height": height, "width": width,
            "batch_size": batch_size, "nviews": nviews,
            "ms_per_step": best * 1e3, "items_per_sec": batch_size / best,
-           "compile_s": compile_s, "loss": loss,
+           "compile_s": compile_s, "loss": float(loss),
            "runtime_peak_hbm_mb": device_mem_mb(), **mem}
     print(f"{label}: {best * 1e3:.0f} ms/step = "
           f"{batch_size / best:.2f} items/s (compile {compile_s:.0f}s, "
