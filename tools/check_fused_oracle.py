@@ -60,10 +60,16 @@ def main():
                                      warp_impl="gather"))
 
     variables = None
+    fwd_fast = fwd_exact = None
     ok = True
     for name in args.scenes.split(","):
+        # DTU-like focal (~1.8*W = 2880 px at 1600): the structured relief
+        # must FILL the view — the generator's default focal targets its
+        # 96-px default width, and at DTU scale it would shrink the
+        # structures to a spec inside an identical plane background
         scene = make_structured_scene(height=args.height, width=args.width,
-                                      nviews=args.nviews, structure=name)
+                                      nviews=args.nviews, structure=name,
+                                      focal=1.8 * args.width)
         batch = make_batch(scene, batch=1)
         a = (jnp.asarray(batch["imgs"]), jnp.asarray(batch["extrinsics"]),
              jnp.asarray(batch["intrinsics"]),
@@ -82,10 +88,13 @@ def main():
                     "batch_stats": jax.tree_util.tree_map(
                         jnp.asarray, raw["batch_stats"])}
 
-        fused = jax.jit(lambda *x: fast.apply(variables, *x,
-                                              train=False))(*a)
-        exact = jax.jit(lambda *x: oracle.apply(variables, *x,
-                                                train=False))(*a)
+        if fwd_fast is None:
+            fwd_fast = jax.jit(lambda *x: fast.apply(variables, *x,
+                                                     train=False))
+            fwd_exact = jax.jit(lambda *x: oracle.apply(variables, *x,
+                                                        train=False))
+        fused = fwd_fast(*a)
+        exact = fwd_exact(*a)
         df = np.asarray(fused["depth"][0], np.float64)
         de = np.asarray(exact["depth"][0], np.float64)
         extent = float(batch["depth_range"][0][1] - batch["depth_range"][0][0])
